@@ -1,0 +1,256 @@
+"""Dense mask-batched heterogeneous GVP graph convolution.
+
+TPU-native replacement for the reference `GVPMultiEdgeConv`
+(models/gvp.py:343-550) and `GVPEdgeConv` (models/gvp.py:170-341). Instead of
+DGL's ragged CSR message passing (`apply_edges` + `multi_update_all`), every
+edge type is computed over a static-shape pair tensor:
+
+* `ff` (pharm->pharm), `pf` (prot->pharm), `fp` (pharm->prot) use *full*
+  adjacency masks — the pharmacophore axis is tiny (<= ~8 centers), so
+  all-pairs materialization is far cheaper than gather/scatter;
+* `pp` (prot->prot) uses a fixed-width top-K nearest-neighbor list
+  (`ops.neighbors.NeighborList`) gathered with `take_along_axis`, since
+  the pocket can hold hundreds of atoms.
+
+Both paths run the same message GVP chain on `[..., M, ...]`-shaped edge
+tensors and reduce over the M axis under the edge validity mask. The message
+semantics (src scalars ∥ RBF(d) scalars, normalized displacement ∥ src
+vectors) are exactly the reference's (gvp.py:472-480, 540-550), as are the
+aggregation variants: per-edge-type mean or sum with cross-type sum
+(gvp.py:484-497), constant / per-ntype / dynamic average-degree message
+normalization (gvp.py:499-517), and the residual + double-layernorm update
+(gvp.py:518-532).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple, Union
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pharmaforge_tpu.models.gvp import GVP, GVPChain, GVPDropout, GVPLayerNorm
+from pharmaforge_tpu.ops.geometry import norm_no_nan, rbf
+from pharmaforge_tpu.ops.neighbors import EdgeMasks, NeighborList
+
+Array = jnp.ndarray
+NodeData = Tuple[Array, Array, Array]  # (scalars [B,N,S], coords [B,N,3], vectors [B,N,V,3])
+
+# canonical edge types, (src_ntype, name, dst_ntype) — reference
+# dynamics_gvp.py:46-54
+ETYPES = (
+    ("pharm", "ff", "pharm"),
+    ("prot", "pf", "pharm"),
+    ("pharm", "fp", "prot"),
+    ("prot", "pp", "prot"),
+)
+
+
+def _edge_geometry(x_dst_pairs: Array, x_src_pairs: Array, rbf_dmax: float,
+                   rbf_dim: int) -> Tuple[Array, Array]:
+    """Normalized displacement + RBF distance embedding for edge pairs.
+
+    Follows reference gvp.py:472-480: x_diff = x_src - x_dst (DGL u_sub_v),
+    dij = norm_no_nan(x_diff) + 1e-8, direction = x_diff / dij,
+    d = RBF(dij, D_max=rbf_dmax, D_count=rbf_dim).
+    """
+    x_diff = x_src_pairs - x_dst_pairs
+    dij = norm_no_nan(x_diff, keepdims=True) + 1e-8
+    x_dir = x_diff / dij
+    d_rbf = rbf(jnp.squeeze(dij, -1), d_max=rbf_dmax, d_count=rbf_dim)
+    return x_dir, d_rbf
+
+
+def _gather_neighbors(h_src: Array, x_src: Array, v_src: Array,
+                      idx: Array) -> Tuple[Array, Array, Array]:
+    """Gather per-dst neighbor features. idx: [B, Nd, K] into the src axis."""
+    h_g = jnp.take_along_axis(h_src[:, None], idx[..., None], axis=2)
+    x_g = jnp.take_along_axis(x_src[:, None], idx[..., None], axis=2)
+    v_g = jnp.take_along_axis(v_src[:, None], idx[..., None, None], axis=2)
+    return h_g, x_g, v_g
+
+
+def _aggregate(s_msg: Array, v_msg: Array, mask: Array,
+               mean: bool) -> Tuple[Array, Array, Array]:
+    """Reduce messages over the neighbor axis under the edge mask.
+
+    Returns (scalar_agg [B,Nd,S], vector_agg [B,Nd,V,3], count [B,Nd]).
+    Mean over an empty edge set yields 0 (DGL convention).
+    """
+    m = mask.astype(s_msg.dtype)
+    s_sum = jnp.sum(s_msg * m[..., None], axis=2)
+    v_sum = jnp.sum(v_msg * m[..., None, None], axis=2)
+    count = jnp.sum(m, axis=2)
+    if mean:
+        denom = jnp.maximum(count, 1.0)
+        s_sum = s_sum / denom[..., None]
+        v_sum = v_sum / denom[..., None, None]
+    return s_sum, v_sum, count
+
+
+class GVPMultiEdgeConv(nn.Module):
+    """One hetero GVP convolution over the 4 canonical edge types."""
+
+    scalar_size: int = 128
+    vector_size: int = 16
+    n_message_gvps: int = 1
+    n_update_gvps: int = 1
+    rbf_dmax: float = 15.0
+    rbf_dim: int = 16
+    message_norm: Union[float, int, str, tuple] = 10
+    dropout: float = 0.0
+
+    def _message_chain(self, name: str) -> GVPChain:
+        layers = []
+        for i in range(self.n_message_gvps):
+            if i == 0:
+                dim_vectors_in = self.vector_size + 1
+                dim_feats_in = self.scalar_size + self.rbf_dim
+            else:
+                dim_vectors_in = self.vector_size
+                dim_feats_in = self.scalar_size
+            layers.append(GVP(
+                dim_vectors_in=dim_vectors_in,
+                dim_vectors_out=self.vector_size,
+                dim_feats_in=dim_feats_in,
+                dim_feats_out=self.scalar_size,
+                feats_activation="silu",
+                vectors_activation="sigmoid",
+            ))
+        return GVPChain(layers, name=name)
+
+    def _update_chain(self, name: str) -> GVPChain:
+        layers = [GVP(
+            dim_vectors_in=self.vector_size,
+            dim_vectors_out=self.vector_size,
+            dim_feats_in=self.scalar_size,
+            dim_feats_out=self.scalar_size,
+            feats_activation="silu",
+            vectors_activation="sigmoid",
+        ) for _ in range(self.n_update_gvps)]
+        return GVPChain(layers, name=name)
+
+    def _norm_mode(self):
+        """Resolve the message_norm config (reference gvp.py:369-389).
+
+        Returns (use_mean_agg, norm_values: {ntype: float}) where a norm value
+        of 0.0 requests dynamic average-degree normalization.
+        """
+        mn = self.message_norm
+        if isinstance(mn, tuple):  # hashable stand-in for a per-ntype dict
+            mn = dict(mn)
+        dst_ntypes = ("pharm", "prot")
+        if isinstance(mn, str):
+            if mn != "mean":
+                raise ValueError(f"message_norm must be 'mean' or a number, got {mn!r}")
+            return True, {nt: 1.0 for nt in dst_ntypes}
+        if isinstance(mn, dict):
+            vals = {nt: float(mn[nt]) for nt in dst_ntypes}
+            if any(v < 0 for v in vals.values()):
+                raise ValueError(f"message_norm values must be >= 0, got {mn}")
+            return False, vals
+        if isinstance(mn, (int, float)):
+            if mn < 0:
+                raise ValueError(f"message_norm values must be >= 0, got {mn}")
+            return False, {nt: float(mn) for nt in dst_ntypes}
+        raise ValueError(f"invalid message_norm: {mn!r}")
+
+    @nn.compact
+    def __call__(self,
+                 node_feats: Dict[str, NodeData],
+                 node_masks: Dict[str, Array],
+                 edges: EdgeMasks,
+                 pp_nbrs: NeighborList,
+                 deterministic: bool = True,
+                 update_ntypes: tuple = ("pharm", "prot")) -> Dict[str, NodeData]:
+        """`update_ntypes` prunes destination node types whose updated state
+        is never consumed downstream (the final conv only feeds the pharm
+        noise head, so its prot-side messages + update are dead compute —
+        skipping them changes nothing numerically and removes the most
+        expensive edge type, pp, from the last layer)."""
+        use_mean, norm_values = self._norm_mode()
+        dropout = GVPDropout(self.dropout, name="dropout")
+
+        agg = {"pharm": None, "prot": None}
+        counts = {"pharm": 0.0, "prot": 0.0}
+
+        for etype in ETYPES:
+            src_nt, ename, dst_nt = etype
+            if dst_nt not in update_ntypes:
+                continue
+            key = "_".join(etype)
+            chain = self._message_chain(f"edge_message_fns_{key}")
+
+            h_src, x_src, v_src = node_feats[src_nt]
+            h_dst_x = node_feats[dst_nt][1]
+
+            if ename == "pp":
+                idx, emask = pp_nbrs.idx, pp_nbrs.mask
+                h_g, x_g, v_g = _gather_neighbors(h_src, x_src, v_src, idx)
+                x_dst_pairs = h_dst_x[:, :, None, :]
+            else:
+                emask = getattr(edges, ename)  # [B, Nd, Ns]
+                nd, ns = emask.shape[1], emask.shape[2]
+                h_g = jnp.broadcast_to(h_src[:, None], (h_src.shape[0], nd, ns, h_src.shape[-1]))
+                x_g = jnp.broadcast_to(x_src[:, None], (x_src.shape[0], nd, ns, 3))
+                v_g = jnp.broadcast_to(
+                    v_src[:, None],
+                    (v_src.shape[0], nd, ns, v_src.shape[-2], 3))
+                x_dst_pairs = h_dst_x[:, :, None, :]
+
+            x_dir, d_rbf = _edge_geometry(x_dst_pairs, x_g,
+                                          self.rbf_dmax, self.rbf_dim)
+            vec_in = jnp.concatenate([x_dir[..., None, :], v_g], axis=-2)
+            sca_in = jnp.concatenate([h_g, d_rbf], axis=-1)
+
+            s_msg, v_msg = chain((sca_in, vec_in))
+            s_agg, v_agg, cnt = _aggregate(s_msg, v_msg, emask, mean=use_mean)
+
+            if agg[dst_nt] is None:
+                agg[dst_nt] = (s_agg, v_agg)
+            else:
+                agg[dst_nt] = (agg[dst_nt][0] + s_agg, agg[dst_nt][1] + v_agg)
+            counts[dst_nt] = counts[dst_nt] + cnt
+
+        out: Dict[str, NodeData] = {}
+        for ntype in ("pharm", "prot"):
+            if ntype not in update_ntypes:
+                out[ntype] = node_feats[ntype]
+                continue
+            h, x, v = node_feats[ntype]
+            mask = node_masks[ntype].astype(h.dtype)
+            s_msg, v_msg = agg[ntype]
+
+            nv = norm_values[ntype]
+            if nv == 0.0:
+                # dynamic per-graph normalization: average incoming degree + 1
+                # (reference gvp.py:504-507)
+                n_edges = jnp.sum(counts[ntype] * mask, axis=1)          # [B]
+                n_nodes = jnp.maximum(jnp.sum(mask, axis=1), 1.0)        # [B]
+                norm = (n_edges / n_nodes + 1.0)[:, None, None]          # [B,1,1]
+                s_msg = s_msg / norm
+                v_msg = v_msg / norm[..., None]
+            else:
+                s_msg = s_msg / nv
+                v_msg = v_msg / nv
+
+            s_msg, v_msg = dropout(s_msg, v_msg, deterministic)
+            h = h + s_msg
+            v = v + v_msg
+            h, v = GVPLayerNorm(self.scalar_size,
+                                name=f"message_layer_norms_{ntype}")(h, v)
+
+            s_res, v_res = self._update_chain(f"node_update_fns_{ntype}")((h, v))
+            s_res, v_res = dropout(s_res, v_res, deterministic)
+            h = h + s_res
+            v = v + v_res
+            h, v = GVPLayerNorm(self.scalar_size,
+                                name=f"update_layer_norms_{ntype}")(h, v)
+
+            # keep padded slots exactly zero so they can never leak into
+            # downstream reductions
+            h = h * mask[..., None]
+            v = v * mask[..., None, None]
+            out[ntype] = (h, x, v)
+
+        return out

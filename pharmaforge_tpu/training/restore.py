@@ -1,0 +1,74 @@
+"""Load a trained model + params from a run directory or checkpoint path.
+
+The inference-side counterpart of PL's `load_from_checkpoint`
+(reference test.py:113-115, generate_pharmacophores.py:267-269): the run
+directory's persisted config.yaml rebuilds the model, orbax restores the
+parameters (param shapes depend only on feature dims, so a dummy batch
+shapes the restore template).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import yaml
+
+from pharmaforge_tpu.config.load_from_config import model_from_config
+from pharmaforge_tpu.data.batch import PharmComplexBatch
+from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
+from pharmaforge_tpu.training.checkpoints import RunCheckpointer, abstract_like
+
+
+def resolve_run_dir(ckpt: Optional[Path], model_dir: Optional[Path]
+                    ) -> Tuple[Path, str]:
+    """(run_dir, which-checkpoint) from --ckpt / --model_dir flags
+    (reference test.py:62-69)."""
+    if ckpt is not None:
+        run_dir = Path(ckpt).parent.parent
+        which = str(ckpt)
+    elif model_dir is not None:
+        run_dir = Path(model_dir)
+        which = "last"
+    else:
+        raise ValueError("Must provide either --ckpt or --model_dir")
+    return run_dir, which
+
+
+def load_config(run_dir: Path) -> dict:
+    config_file = run_dir / "config.yaml"
+    if not config_file.exists():
+        config_file = run_dir / "config.yml"
+        if not config_file.exists():
+            raise FileNotFoundError(f"config file not found in {run_dir}")
+    with open(config_file) as f:
+        return yaml.load(f, Loader=yaml.FullLoader)
+
+
+def dummy_batch(model: PharmacophoreDiffusion) -> PharmComplexBatch:
+    cfg = model.config
+    return PharmComplexBatch(
+        pharm_x=np.zeros((1, 8, 3), np.float32),
+        pharm_h=np.zeros((1, 8, cfg.pharm_nf), np.float32),
+        pharm_mask=np.ones((1, 8), bool),
+        prot_x=np.zeros((1, 64, 3), np.float32),
+        prot_h=np.zeros((1, 64, cfg.rec_nf), np.float32),
+        prot_mask=np.ones((1, 64), bool),
+    )
+
+
+def load_model(run_dir: Path, which: str = "last"
+               ) -> Tuple[PharmacophoreDiffusion, dict, dict]:
+    """Returns (model, params, config)."""
+    run_dir = Path(run_dir)
+    config = load_config(run_dir)
+    model = model_from_config(config)
+
+    template_params = jax.device_get(
+        model.init_params(jax.random.key(0), dummy_batch(model)))
+    ckptr = RunCheckpointer(run_dir)
+    restored, _ = ckptr.restore(
+        {"params": abstract_like(template_params)}, which=which)
+    return model, restored["params"], config

@@ -1,0 +1,130 @@
+"""Host-level batched sampling orchestration.
+
+Replaces the reference's `PharmacophoreDiff.sample`
+(pharmacodiff.py:516-578) and the per-pocket batching loops in test.py /
+generate_pharmacophores.py: pockets are tiled into dense batches
+(`data.batch.tile_pocket`), chunked by `max_batch_size`, padded to a fixed
+chunk size (so the jitted reverse-diffusion program compiles once per
+pocket-size bucket), and the device output is split back into
+`SampledPharmacophore` objects carrying their pocket's receptor
+pharmacophore sites for the validity metric.
+"""
+
+from __future__ import annotations
+
+from math import ceil
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from pharmaforge_tpu.analysis.pharm_builder import SampledPharmacophore
+from pharmaforge_tpu.constants import PH_IDX_TO_TYPE
+from pharmaforge_tpu.data.batch import (
+    DEFAULT_MAX_PHARM,
+    bucket_size,
+    tile_pocket,
+)
+from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
+
+
+class PocketSampler:
+
+    def __init__(self, model: PharmacophoreDiffusion, params,
+                 pharm_type_map: Optional[List[str]] = None,
+                 prot_bucket_multiple: int = 64):
+        self.model = model
+        self.params = params
+        self.pharm_type_map = pharm_type_map or PH_IDX_TO_TYPE
+        self.prot_bucket_multiple = prot_bucket_multiple
+        self._jitted: Dict[bool, callable] = {}
+
+    def _sampler(self, visualize: bool):
+        if visualize not in self._jitted:
+            def fn(params, batch, key, init_com):
+                return self.model.sample_given_receptor(
+                    params, batch, key, init_pharm_com=init_com,
+                    visualize_trajectory=visualize)
+            self._jitted[visualize] = jax.jit(fn)
+        return self._jitted[visualize]
+
+    def sample_pocket(self,
+                      pocket: dict,
+                      pharm_sizes: Sequence[int],
+                      key: jax.Array,
+                      max_batch_size: int = 32,
+                      init_pharm_com: Optional[np.ndarray] = None,
+                      visualize_trajectory: bool = False
+                      ) -> List[SampledPharmacophore]:
+        """Sample len(pharm_sizes) pharmacophores for one pocket.
+
+        `pocket` is a dataset sample dict (prot_x, prot_h, optional
+        prot_ph_x/prot_ph_h). Mirrors the batching loop of test.py:159-183.
+        """
+        n_total = len(pharm_sizes)
+        n_chunks = ceil(n_total / max_batch_size)
+        sampler = self._sampler(visualize_trajectory)
+
+        prot_ph_pos = pocket.get("prot_ph_x")
+        prot_ph_types = None
+        if prot_ph_pos is not None and len(prot_ph_pos):
+            idxs = np.asarray(pocket["prot_ph_h"]).argmax(axis=1)
+            prot_ph_types = [PH_IDX_TO_TYPE[int(i)] for i in idxs]
+
+        results: List[SampledPharmacophore] = []
+        for c in range(n_chunks):
+            chunk_sizes = list(pharm_sizes[c * max_batch_size:
+                                           (c + 1) * max_batch_size])
+            n_real = len(chunk_sizes)
+            # pad the chunk to a fixed batch size so every chunk reuses the
+            # same compiled program
+            pad_sizes = chunk_sizes + [3] * (max_batch_size - n_real) \
+                if n_chunks > 1 else chunk_sizes
+            batch = tile_pocket(
+                pocket["prot_x"], pocket["prot_h"], pad_sizes,
+                n_pharm_feats=self.model.config.pharm_nf,
+                max_pharm=max(DEFAULT_MAX_PHARM, max(pad_sizes)),
+                prot_bucket_multiple=self.prot_bucket_multiple)
+
+            if init_pharm_com is not None:
+                com = np.broadcast_to(
+                    np.asarray(init_pharm_com, np.float32).reshape(1, 3),
+                    (batch.batch_size, 3)).copy()
+            else:
+                pm = batch.prot_mask[..., None]
+                com = ((batch.prot_x * pm).sum(1)
+                       / np.maximum(pm.sum(1), 1)).astype(np.float32)
+
+            key, sub = jax.random.split(key)
+            out = sampler(self.params, batch, sub, com)
+            out = {k: np.asarray(v) for k, v in out.items()}
+            # keep only real rows
+            out = {k: (v[:, :n_real] if k.startswith("traj") else v[:n_real])
+                   for k, v in out.items()}
+            results.extend(SampledPharmacophore.from_batch(
+                out, self.pharm_type_map,
+                with_trajectory=visualize_trajectory,
+                prot_ph_pos=prot_ph_pos, prot_ph_types=prot_ph_types))
+        return results
+
+    def sample(self,
+               pockets: List[dict],
+               n_pharms: List[Sequence[int]],
+               key: jax.Array,
+               max_batch_size: int = 32,
+               init_pharm_com: Optional[np.ndarray] = None,
+               visualize_trajectory: bool = False
+               ) -> List[List[SampledPharmacophore]]:
+        """Multi-receptor sampling (reference pharmacodiff.py:516-578):
+        per-pocket lists of sampled pharmacophores."""
+        per_pocket = []
+        for i, (pocket, sizes) in enumerate(zip(pockets, n_pharms)):
+            com_i = None
+            if init_pharm_com is not None:
+                com_i = np.asarray(init_pharm_com)[i]
+            key, sub = jax.random.split(key)
+            per_pocket.append(self.sample_pocket(
+                pocket, sizes, sub, max_batch_size=max_batch_size,
+                init_pharm_com=com_i,
+                visualize_trajectory=visualize_trajectory))
+        return per_pocket

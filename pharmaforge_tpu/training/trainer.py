@@ -1,0 +1,268 @@
+"""The training loop: TPU-native replacement for PyTorch Lightning.
+
+Covers the orchestration surface the reference delegates to PL
+(train.py:126-153; pharmacodiff.py:245-318):
+
+* epoch loop with fractional-epoch validation (`val_loss_interval`),
+* train-time generative evaluation every `sample_interval` epochs
+  (pharmacodiff.py:281-284, 320-357): sample pharmacophores for random val
+  pockets and log the validity metric,
+* Adam + ReduceLROnPlateau on 'val total loss',
+* gradient accumulation (`accumulate_grad_batches`) via optax.MultiSteps,
+* checkpoint save-last / save-top-k per epoch + full resume,
+* metric logging with the reference's metric names,
+* data parallelism over a jax device mesh ('data' axis): params replicated,
+  batches sharded, padded to divide the mesh when needed.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+import optax
+import yaml
+
+from pharmaforge_tpu.data.datamodule import CrossdockedDataModule
+from pharmaforge_tpu.models.diffusion import DiffusionConfig, PharmacophoreDiffusion
+from pharmaforge_tpu.models.size_dist import PharmSizeDistribution
+from pharmaforge_tpu.analysis.metrics import SampleAnalyzer
+from pharmaforge_tpu.parallel.mesh import (
+    make_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    shard_batch,
+)
+from pharmaforge_tpu.training.checkpoints import RunCheckpointer, abstract_like
+from pharmaforge_tpu.training.logging import MetricsLogger
+from pharmaforge_tpu.training.optim import ReduceLROnPlateau, make_optimizer
+from pharmaforge_tpu.training.sampling import PocketSampler
+from pharmaforge_tpu.training.train_state import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+
+
+class Trainer:
+
+    def __init__(self, config: dict, run_dir: Path,
+                 logger: Optional[MetricsLogger] = None,
+                 debug: bool = False, seed: int = 0,
+                 n_devices: Optional[int] = None):
+        self.config = config
+        self.run_dir = Path(run_dir)
+        self.debug = debug
+        self.seed = seed
+
+        tr = config["training"]
+        from pharmaforge_tpu.utils.misc import set_matmul_precision
+        set_matmul_precision(tr.get("matmul_precision", "float32"))
+        self.batch_size = tr["batch_size"]
+        self.max_epochs = tr.get("trainer_args", {}).get("max_epochs", 10)
+        self.accumulate = tr.get("trainer_args", {}).get(
+            "accumulate_grad_batches", 1) or 1
+        self.limit_train_batches = 100 if debug else None
+
+        ev = tr.get("evaluation", {})
+        self.sample_interval = ev.get("sample_interval", 1.0)
+        self.val_loss_interval = ev.get("val_loss_interval", 1.0)
+        self.pharms_per_pocket = ev.get("pharms_per_pocket", 2)
+        self.n_pockets_to_sample = ev.get("n_pockets", 8)
+
+        lrs = config.get("lr_scheduler", {})
+        self.base_lr = float(lrs.get("base_lr", 1e-3))
+        weight_decay = float(lrs.get("weight_decay", 0.0))
+        clip_value = tr.get("clip_value")
+        self.plateau = ReduceLROnPlateau(
+            **{k: v for k, v in lrs.get("reducelronplateau", {}).items()
+               if k in ("mode", "factor", "patience", "min_lr", "verbose")})
+
+        self.model: Optional[PharmacophoreDiffusion] = None
+        self.optimizer = make_optimizer(self.base_lr, weight_decay,
+                                        clip_value)
+        if self.accumulate > 1:
+            self.optimizer = optax.MultiSteps(self.optimizer,
+                                              every_k_schedule=self.accumulate)
+
+        self.logger = logger or MetricsLogger(self.run_dir,
+                                              config.get("wandb"))
+        self.checkpointer = RunCheckpointer(self.run_dir,
+                                            **config.get("checkpointing", {}))
+        self.mesh = make_mesh(n_devices)
+        self.lr = self.base_lr
+        self.global_step = 0
+        self.epoch = 0
+        self.last_sample_marker = 0.0
+        self.last_val_marker = 0.0
+        self._resume_state = None
+
+    # ----------------------------------------------------------------- fit
+
+    def fit(self, model: PharmacophoreDiffusion,
+            datamodule: CrossdockedDataModule,
+            resume_from: Optional[str] = None):
+        self.model = model
+        datamodule.setup("fit")
+
+        key = jax.random.key(self.seed)
+        key, init_key = jax.random.split(key)
+
+        init_batch = next(iter(datamodule.train_dataloader(seed=self.seed)))
+        params = model.init_params(init_key, init_batch)
+        opt_state = self.optimizer.init(params)
+        state = TrainState(params=params, opt_state=opt_state,
+                           step=np.int32(0))
+
+        if resume_from is not None:
+            template = abstract_like(
+                {"params": state.params, "opt_state": state.opt_state})
+            restored, meta = self.checkpointer.restore(template,
+                                                       which=resume_from)
+            state = TrainState(params=restored["params"],
+                               opt_state=restored["opt_state"],
+                               step=np.int32(meta["step"]))
+            self.global_step = meta["step"]
+            self.epoch = meta.get("epoch", 0)
+            self.lr = meta.get("lr", self.base_lr)
+            self.last_sample_marker = meta.get("last_sample_marker", 0.0)
+            self.plateau.load_state_dict(meta.get("plateau", {}))
+
+        state = replicate(state, self.mesh)
+        train_step = make_train_step(model, self.optimizer)
+        eval_step = make_eval_step(model)
+
+        size_dist = PharmSizeDistribution(
+            self.config["dataset"].get("processed_data_dir"))
+
+        n_params = sum(np.prod(np.shape(p)) for p in
+                       jax.tree_util.tree_leaves(state.params))
+        print(f"training on mesh {self.mesh.shape} | {n_params:,} params "
+              f"| batch {self.batch_size} | {self.max_epochs} epochs")
+
+        while self.epoch < self.max_epochs:
+            loader = datamodule.train_dataloader(seed=self.seed + self.epoch)
+            n_batches = len(loader)
+            if self.limit_train_batches:
+                n_batches = min(n_batches, self.limit_train_batches)
+            epoch_t0 = time.time()
+            epoch_metrics: dict[str, list] = {}
+
+            for batch_idx, batch in enumerate(loader):
+                if self.limit_train_batches and batch_idx >= self.limit_train_batches:
+                    break
+                epoch_exact = self.epoch + batch_idx / max(n_batches, 1)
+
+                # pad partial batches up to the full batch size (one compiled
+                # shape per bucket), then to a mesh-divisible count
+                batch, _ = pad_batch_to_multiple(batch, self.batch_size)
+                batch, _ = pad_batch_to_multiple(
+                    batch, int(np.prod(self.mesh.devices.shape)))
+                batch = shard_batch(batch, self.mesh)
+                key, step_key = jax.random.split(key)
+                state, aux = train_step(state, batch, step_key, self.lr)
+
+                self.global_step += 1
+                metrics = {k: float(v) for k, v in aux.items()}
+                metrics["lr"] = self.lr
+                metrics["epoch_exact"] = epoch_exact
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(k, []).append(v)
+                self.logger.log(metrics, step=self.global_step)
+
+                # train-time generative eval (pharmacodiff.py:281-284)
+                if (self.sample_interval > 0 and
+                        epoch_exact - self.last_sample_marker
+                        >= self.sample_interval):
+                    self.last_sample_marker = epoch_exact
+                    key, skey = jax.random.split(key)
+                    quality = self.sample_and_analyze(
+                        state.params, datamodule.val_dataset, skey, size_dist)
+                    self.logger.log(quality, step=self.global_step)
+
+                # fractional-epoch validation (val_check_interval semantics)
+                if (epoch_exact - self.last_val_marker
+                        >= self.val_loss_interval):
+                    self.last_val_marker = epoch_exact
+                    key, vkey = jax.random.split(key)
+                    val_metrics = self.validate(state.params, datamodule,
+                                                eval_step, vkey)
+                    self.logger.log(val_metrics, step=self.global_step)
+                    self.lr = self.plateau.step(
+                        val_metrics["val total loss"], self.lr)
+
+            # end of epoch: validation + checkpoint
+            key, vkey = jax.random.split(key)
+            val_metrics = self.validate(state.params, datamodule, eval_step,
+                                        vkey)
+            self.logger.log(val_metrics, step=self.global_step)
+            self.lr = self.plateau.step(val_metrics["val total loss"], self.lr)
+            self.epoch += 1
+
+            dt = time.time() - epoch_t0
+            steps_per_sec = (batch_idx + 1) / dt if dt > 0 else 0.0
+            train_loss = np.mean(epoch_metrics.get("train total loss", [0.0]))
+            print(f"epoch {self.epoch}/{self.max_epochs} "
+                  f"train total loss {train_loss:.4f} "
+                  f"val total loss {val_metrics['val total loss']:.4f} "
+                  f"({steps_per_sec:.2f} steps/s)")
+
+            self.save_checkpoint(state, val_metrics["val total loss"])
+
+        return state
+
+    # ------------------------------------------------------------ validate
+
+    def validate(self, params, datamodule, eval_step, key) -> dict:
+        sums: dict[str, float] = {}
+        weights = 0.0
+        for batch in datamodule.val_dataloader(seed=self.seed):
+            key, sub = jax.random.split(key)
+            aux = eval_step(params, batch, sub)
+            bs = batch.batch_size
+            for k, v in aux.items():
+                sums[k] = sums.get(k, 0.0) + float(v) * bs
+            weights += bs
+        return {k: v / max(weights, 1) for k, v in sums.items()}
+
+    # -------------------------------------------------- sample_and_analyze
+
+    def sample_and_analyze(self, params, val_dataset, key,
+                           size_dist) -> dict:
+        """Sample pharmacophores mid-training and compute validity
+        (reference pharmacodiff.py:320-357)."""
+        n_pockets = min(self.n_pockets_to_sample, len(val_dataset))
+        idxs = np.random.default_rng(int(self.global_step)).integers(
+            0, len(val_dataset), size=n_pockets)
+        pockets = [val_dataset[int(i)] for i in idxs]
+        n_pharms = [[len(p["pharm_x"])] * self.pharms_per_pocket
+                    for p in pockets]
+        init_coms = np.stack([p["pharm_x"].mean(axis=0) for p in pockets])
+
+        sampler = PocketSampler(self.model, params)
+        per_pocket = sampler.sample(pockets, n_pharms, key,
+                                    max_batch_size=64,
+                                    init_pharm_com=init_coms)
+        flat = [ph for pocket_phs in per_pocket for ph in pocket_phs]
+        try:
+            return SampleAnalyzer().analyze(flat)
+        except ValueError:
+            return {}
+
+    # ----------------------------------------------------------- checkpoint
+
+    def save_checkpoint(self, state: TrainState, monitored: float):
+        host_state = jax.device_get(
+            {"params": state.params, "opt_state": state.opt_state})
+        meta = {
+            "step": int(self.global_step),
+            "epoch": int(self.epoch),
+            "lr": float(self.lr),
+            "last_sample_marker": float(self.last_sample_marker),
+            "plateau": self.plateau.state_dict(),
+            "monitored": float(monitored),
+        }
+        self.checkpointer.save(host_state, meta, metric=monitored)

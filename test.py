@@ -1,0 +1,221 @@
+"""Dataset-driven sampling / evaluation CLI.
+
+Flag-for-flag parity with the reference test.py: samples N pharmacophores
+per pocket over the val (or train) split of the processed dataset, writes
+pharms.xyz / per-sample trajectories / pocket.pdb / reference files /
+per-pocket timing, and with --metrics computes validity + the type-frequency
+histogram. The reverse-diffusion chain itself runs as a single jitted
+lax.scan per batch (compiled once per pocket-size bucket).
+"""
+
+import argparse
+import pickle
+import shutil
+import time
+from pathlib import Path
+from typing import List
+
+import numpy as np
+
+from pharmaforge_tpu.analysis.metrics import SampleAnalyzer
+from pharmaforge_tpu.analysis.pharm_builder import SampledPharmacophore
+from pharmaforge_tpu.config.load_from_config import data_module_from_config
+from pharmaforge_tpu.constants import PH_IDX_TO_TYPE
+from pharmaforge_tpu.models.size_dist import PharmSizeDistribution
+from pharmaforge_tpu.training.restore import load_model, resolve_run_dir
+from pharmaforge_tpu.training.sampling import PocketSampler
+from pharmaforge_tpu.utils.misc import set_matmul_precision
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser()
+    p.add_argument('--ckpt', type=Path, default=None,
+                   help='Path to checkpoint file. Must be inside model dir.')
+    p.add_argument('--model_dir', type=Path, default=None,
+                   help='Directory of output from a training run. Will use the '
+                        'last checkpoint in this directory.')
+    p.add_argument('--samples_per_pocket', type=int, default=1,
+                   help='number of samples generated per pocket')
+    p.add_argument('--pharm_sizes', nargs='*', type=int, default=[],
+                   help='number of pharmacophore centers in each sample, must '
+                        'be of length samples per pocket')
+    p.add_argument('--max_batch_size', type=int, default=128,
+                   help='maximum feasible batch size due to memory constraints')
+    p.add_argument('--seed', type=int, default=42)
+    p.add_argument('--output_dir', type=Path, default=None)
+    p.add_argument('--max_tries', type=int, default=1,
+                   help='maximum number of batches to sample per pocket')
+    p.add_argument('--dataset_size', type=int, default=None,
+                   help='truncate test dataset')
+    p.add_argument('--dataset_idx', type=int, default=None)
+    p.add_argument('--dataset_idx_as_start', action='store_true',
+                   help='Use dataset idx as starting index and sample dataset size')
+    p.add_argument('--split', type=str, default='val',
+                   help='which data split to use; val or train')
+    p.add_argument('--use_ref_pharm_com', action='store_true',
+                   help="Initialize each pharmacophore's position at the "
+                        "reference pharmacophore's center of mass")
+    p.add_argument('--visualize_trajectory', action='store_true',
+                   help='Visualize trajectories of generated pharmacophores')
+    p.add_argument('--metrics', action='store_true',
+                   help='compute metrics on generated pharmacophores')
+    p.add_argument('--matmul_precision', type=str, default='float32',
+                   choices=['float32', 'tensorfloat32', 'bfloat16'],
+                   help='TPU matmul precision for the sampling chain')
+    args = p.parse_args()
+
+    if args.ckpt is None and args.model_dir is None:
+        raise ValueError('Must provide either --ckpt or --model_dir')
+    if args.pharm_sizes and len(args.pharm_sizes) != args.samples_per_pocket:
+        raise ValueError('If pharm_sizes list is provided, must be of length '
+                         'samples per pocket')
+    return args
+
+
+def main():
+    args = parse_arguments()
+    set_matmul_precision(args.matmul_precision)
+
+    run_dir, which = resolve_run_dir(args.ckpt, args.model_dir)
+    output_dir = args.output_dir or (run_dir / 'samples')
+    output_dir.mkdir(parents=True, exist_ok=True)
+    pharm_dir = output_dir
+
+    model, params, config = load_model(run_dir, which)
+
+    rng = np.random.default_rng(args.seed)
+
+    test_data_module = data_module_from_config(config)
+    if args.split == 'train':
+        test_data_module.setup('fit')
+        test_dataset = test_data_module.train_dataset
+    else:
+        test_data_module.setup('test')
+        test_dataset = test_data_module.val_dataset
+
+    sampler = PocketSampler(model, params,
+                            pharm_type_map=config['dataset']['ph_type_map'])
+    size_dist = PharmSizeDistribution(
+        config['dataset'].get('processed_data_dir'), seed=args.seed)
+
+    if args.dataset_idx is None:
+        dataset_size = args.dataset_size or len(test_dataset)
+        dataset_iterator = range(dataset_size)
+    elif args.dataset_idx_as_start:
+        if args.dataset_size is None:
+            raise ValueError('Must provide dataset size if '
+                             'dataset_idx_as_start is used')
+        dataset_size = args.dataset_size
+        dataset_iterator = range(args.dataset_idx,
+                                 args.dataset_idx + dataset_size)
+    else:
+        dataset_size = 1
+        dataset_iterator = range(args.dataset_idx, args.dataset_idx + 1)
+
+    import jax
+    key = jax.random.key(args.seed)
+
+    pocket_sampling_times = []
+    all_pharms: List[SampledPharmacophore] = []
+    for dataset_idx in dataset_iterator:
+        pocket_sample_start = time.time()
+
+        pocket = test_dataset[dataset_idx]
+        raw_data_dir, ref_prot_file, ref_lig_rdmol = \
+            test_dataset.get_files(dataset_idx)
+
+        if args.pharm_sizes:
+            pharm_sizes = list(args.pharm_sizes)
+        else:
+            pharm_sizes = list(size_dist.sample_uniformly(
+                args.samples_per_pocket))
+
+        init_com = pocket['pharm_x'].mean(axis=0) if args.use_ref_pharm_com \
+            else None
+
+        key, sub = jax.random.split(key)
+        sampled_pharms = sampler.sample_pocket(
+            pocket, pharm_sizes, sub, max_batch_size=args.max_batch_size,
+            init_pharm_com=init_com,
+            visualize_trajectory=args.visualize_trajectory)
+
+        pocket_sample_time = time.time() - pocket_sample_start
+        pocket_sampling_times.append(pocket_sample_time)
+
+        pocket_dir = pharm_dir / f'pocket_{dataset_idx}'
+        pocket_dir.mkdir(exist_ok=True)
+        all_pharms.extend(sampled_pharms)
+
+        with open(pocket_dir / 'sample_time.txt', 'w') as f:
+            f.write(f'{pocket_sample_time:.2f}')
+        with open(pocket_dir / 'sample_time.pkl', 'wb') as f:
+            pickle.dump(pocket_sampling_times, f)
+
+        print(f'Pocket {dataset_idx} sampling time: '
+              f'{pocket_sample_time:.2f} seconds')
+        print(f'Pocket {dataset_idx} sampling time per pharmacophore: '
+              f'{pocket_sample_time / len(sampled_pharms):.2f} seconds')
+
+        # pocket pdb + reference files require the raw CrossDocked files and
+        # rdkit/biopython; degrade gracefully when either is unavailable
+        if ref_prot_file is not None and raw_data_dir:
+            ref_path = Path(raw_data_dir) / ref_prot_file
+            if ref_path.exists():
+                try:
+                    from pharmaforge_tpu.preprocessing.receptor_utils import (
+                        write_pocket_file)
+                    write_pocket_file(ref_path, ref_lig_rdmol,
+                                      pocket_dir / 'pocket.pdb',
+                                      cutoff=config['dataset']['pocket_cutoff'])
+                    ref_files_dir = pocket_dir / 'reference_files'
+                    ref_files_dir.mkdir(exist_ok=True)
+                    shutil.copy(ref_path, ref_files_dir / ref_path.name)
+                    if ref_lig_rdmol is not None:
+                        from rdkit import Chem
+                        w = Chem.SDWriter(str(ref_files_dir / 'ligand.sdf'))
+                        w.write(ref_lig_rdmol, confId=0)
+                        w.close()
+                except ImportError as e:
+                    print(f'skipping pocket.pdb/reference files ({e})')
+
+        if args.visualize_trajectory:
+            for pharm_idx, sampled_pharm in enumerate(sampled_pharms):
+                sampled_pharm.traj_to_xyz(
+                    pocket_dir / f'pharm_{pharm_idx}_traj.xyz')
+        else:
+            pharm_file_content = ''.join(
+                ph.to_xyz_file() for ph in sampled_pharms)
+            with open(pocket_dir / 'pharms.xyz', 'w') as f:
+                f.write(pharm_file_content)
+
+    if args.metrics:
+        metrics = SampleAnalyzer().analyze(all_pharms)
+        print(metrics)
+        with open(output_dir / 'metrics.txt', 'w') as f:
+            f.write('\n'.join(f'{k}: {v:.3f}' for k, v in metrics.items()))
+        with open(output_dir / 'metrics.pkl', 'wb') as f:
+            pickle.dump(metrics, f)
+
+        freqs = SampleAnalyzer().pharm_feat_freq(all_pharms)
+        with open(output_dir / f'pharm_counts_{args.dataset_idx}.txt', 'w') as f:
+            f.write(str(freqs))
+        with open(output_dir / f'pharm_counts_{args.dataset_idx}.pkl', 'wb') as f:
+            pickle.dump(freqs, f)
+
+        try:
+            import matplotlib
+            matplotlib.use('Agg')
+            import matplotlib.pyplot as plt
+            plt.bar(PH_IDX_TO_TYPE, freqs)
+            plt.xticks(rotation=90)
+            plt.xlabel('Pharmacophore Feature')
+            plt.ylabel('Feature Count')
+            plt.title(f'Pharmacophore Type Counts for {dataset_size} Pockets')
+            plt.tight_layout()
+            plt.savefig(output_dir / f'pharm_freq_plot_{args.dataset_idx}.png')
+        except ImportError:
+            pass
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,109 @@
+import numpy as np
+import jax
+import pytest
+
+from pharmaforge_tpu.models.diffusion import DiffusionConfig, PharmacophoreDiffusion
+from pharmaforge_tpu.training.optim import ReduceLROnPlateau, make_optimizer
+from pharmaforge_tpu.training.train_state import (
+    TrainState,
+    make_eval_step,
+    make_train_step,
+)
+from tests.conftest import make_complex_batch
+from tests.test_diffusion import tiny_config
+
+
+def test_reduce_lr_on_plateau():
+    sched = ReduceLROnPlateau(factor=0.5, patience=2, min_lr=1e-4)
+    lr = 1.0
+    lr = sched.step(1.0, lr)   # best
+    assert lr == 1.0
+    lr = sched.step(1.0, lr)   # bad 1 (not better than best*(1-eps))
+    lr = sched.step(1.0, lr)   # bad 2
+    assert lr == 1.0
+    lr = sched.step(1.0, lr)   # bad 3 > patience -> reduce
+    assert lr == 0.5
+    # improvement resets
+    lr = sched.step(0.2, lr)
+    assert lr == 0.5
+    # min_lr floor
+    for _ in range(40):
+        lr = sched.step(1.0, lr)
+    assert lr >= 1e-4
+
+
+def test_train_step_reduces_loss(rng):
+    """Overfit a single tiny batch: loss after N steps must drop."""
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), batch)
+    optimizer = make_optimizer(2e-3, weight_decay=1e-12)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=np.int32(0))
+    train_step = make_train_step(model, optimizer, donate=False)
+
+    losses = []
+    key = jax.random.key(5)
+    for i in range(30):
+        # fixed diffusion noise key -> deterministic objective to overfit
+        state, aux = train_step(state, batch, jax.random.key(7), 2e-3)
+        losses.append(float(aux["train total loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    assert int(state.step) == 30
+
+
+def test_eval_step_deterministic(rng):
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
+    model = PharmacophoreDiffusion(tiny_config(dropout=0.3))
+    params = model.init_params(jax.random.key(0), batch)
+    eval_step = make_eval_step(model)
+    a = eval_step(params, batch, jax.random.key(1))
+    b = eval_step(params, batch, jax.random.key(1))
+    for k in a:
+        assert float(a[k]) == float(b[k])
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from pharmaforge_tpu.training.checkpoints import (
+        RunCheckpointer,
+        abstract_like,
+    )
+
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), batch)
+    optimizer = make_optimizer(1e-3)
+    opt_state = optimizer.init(params)
+
+    ckptr = RunCheckpointer(tmp_path / "run", save_top_k=2)
+    state = {"params": jax.device_get(params),
+             "opt_state": jax.device_get(opt_state)}
+    ckptr.save(state, {"step": 1, "epoch": 0, "lr": 1e-3}, metric=0.5)
+    ckptr.save(state, {"step": 2, "epoch": 1, "lr": 1e-3}, metric=0.4)
+    ckptr.save(state, {"step": 3, "epoch": 2, "lr": 1e-3}, metric=0.9)
+
+    template = abstract_like(state)
+    restored, meta = ckptr.restore(template, which="last")
+    assert meta["step"] == 3
+    ref_leaf = jax.tree_util.tree_leaves(state["params"])[0]
+    got_leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    np.testing.assert_allclose(np.asarray(got_leaf), np.asarray(ref_leaf))
+
+    # best = metric 0.4 at step 2
+    restored, meta = ckptr.restore(template, which="best")
+    assert meta["step"] == 2
+    # top-k pruning: only 2 best kept
+    kept = sorted(p.name for p in (tmp_path / "run" / "checkpoints" / "top").iterdir())
+    assert kept == ["1", "2"]
+
+
+def test_pad_batch_to_multiple(rng):
+    from pharmaforge_tpu.parallel.mesh import pad_batch_to_multiple
+    batch = make_complex_batch(rng, b=2)
+    padded, real = pad_batch_to_multiple(batch, 8)
+    assert real == 2
+    assert padded.batch_size == 8
+    assert not padded.pharm_mask[2:].any()
+    assert not padded.prot_mask[2:].any()
+    same, real = pad_batch_to_multiple(batch, 2)
+    assert same.batch_size == 2

@@ -1,0 +1,114 @@
+"""Training CLI.
+
+Flag-for-flag parity with the reference train.py: YAML config as source of
+truth, hyperparameter override flags, `--resume <run_dir|ckpt>`, `--debug`
+(limit_train_batches=100, wandb off), run-dir creation with persisted
+config.yaml + run_id for resume.
+"""
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from pharmaforge_tpu.config.cmdline import (
+    merge_config_and_args,
+    register_hyperparameter_args,
+)
+from pharmaforge_tpu.config.load_from_config import (
+    data_module_from_config,
+    model_from_config,
+)
+from pharmaforge_tpu.training.logging import MetricsLogger, generate_run_id
+from pharmaforge_tpu.training.trainer import Trainer
+
+
+def parse_arguments():
+    p = argparse.ArgumentParser()
+    p.add_argument('--config', type=str, default=None)
+    p.add_argument('--resume', type=Path, default=None)
+    p.add_argument('--debug', action='store_true')
+    p.add_argument('--seed', type=int, default=None)
+    p.add_argument('--n_devices', type=int, default=None,
+                   help='restrict the data-parallel mesh to this many chips')
+    p = register_hyperparameter_args(p)
+    args = p.parse_args()
+    if args.config is not None and args.resume is not None:
+        raise ValueError('only specify a config file or a resume file but not both')
+    return args
+
+
+def maybe_make_synthetic(config: dict) -> None:
+    """Generate a synthetic processed dataset when requested and absent."""
+    ds = config['dataset']
+    if not ds.get('synthetic'):
+        return
+    processed = Path(ds['processed_data_dir'])
+    if processed.exists():
+        return
+    from pharmaforge_tpu.data.synthetic import make_synthetic_processed_dataset
+    print(f'generating synthetic processed dataset at {processed}')
+    make_synthetic_processed_dataset(processed)
+
+
+if __name__ == '__main__':
+    args = parse_arguments()
+
+    ckpt_resume = None
+    if args.resume is not None:
+        if args.resume.is_dir():
+            run_dir = args.resume
+            ckpt_resume = 'last'
+        elif args.resume.exists():
+            run_dir = args.resume.parent.parent
+            ckpt_resume = str(args.resume)
+        else:
+            raise ValueError('resume argument must be a run directory or a '
+                             'checkpoint that must already exist')
+        config_file = run_dir / 'config.yaml'
+    else:
+        config_file = args.config
+        run_dir = None
+
+    seed = args.seed if args.seed is not None else 0
+    np.random.seed(seed)
+
+    with open(config_file, 'r') as f:
+        config = yaml.load(f, Loader=yaml.FullLoader)
+    config = merge_config_and_args(config, args)
+
+    maybe_make_synthetic(config)
+
+    data_module = data_module_from_config(config)
+    model = model_from_config(config)
+
+    wandb_config = dict(config.get('wandb', {}))
+    if args.debug:
+        wandb_config['mode'] = 'disabled'
+        wandb_config['name'] = 'debug_run'
+
+    output_dir = Path(config['training']['output_dir'])
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.resume is None:
+        run_id = generate_run_id()
+        wandb_config['id'] = run_id
+        name = wandb_config.get('name', 'run').replace(' ', '-')
+        run_dir = output_dir / f'{name}_{run_id}'
+        run_dir.mkdir(parents=True, exist_ok=True)
+        config.setdefault('resume', {})['run_id'] = run_id
+        print('Results are being written to:', run_dir)
+        with open(run_dir / 'config.yaml', 'w') as f:
+            yaml.dump(config, f)
+    else:
+        run_id = config.get('resume', {}).get('run_id', 'resumed')
+        wandb_config['id'] = run_id
+        wandb_config['resume'] = 'must'
+
+    wandb_config['save_dir'] = str(output_dir)
+    logger = MetricsLogger(run_dir, wandb_config, full_config=config)
+
+    trainer = Trainer(config, run_dir, logger=logger, debug=args.debug,
+                      seed=seed, n_devices=args.n_devices)
+    trainer.fit(model, data_module, resume_from=ckpt_resume)
