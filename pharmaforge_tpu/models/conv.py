@@ -101,7 +101,7 @@ class GVPMultiEdgeConv(nn.Module):
     dropout: float = 0.0
 
     def _message_chain(self, name: str) -> GVPChain:
-        layers = []
+        specs = []
         for i in range(self.n_message_gvps):
             if i == 0:
                 dim_vectors_in = self.vector_size + 1
@@ -109,7 +109,7 @@ class GVPMultiEdgeConv(nn.Module):
             else:
                 dim_vectors_in = self.vector_size
                 dim_feats_in = self.scalar_size
-            layers.append(GVP(
+            specs.append(dict(
                 dim_vectors_in=dim_vectors_in,
                 dim_vectors_out=self.vector_size,
                 dim_feats_in=dim_feats_in,
@@ -117,18 +117,18 @@ class GVPMultiEdgeConv(nn.Module):
                 feats_activation="silu",
                 vectors_activation="sigmoid",
             ))
-        return GVPChain(layers, name=name)
+        return GVPChain(tuple(specs), name=name)
 
     def _update_chain(self, name: str) -> GVPChain:
-        layers = [GVP(
+        specs = tuple(dict(
             dim_vectors_in=self.vector_size,
             dim_vectors_out=self.vector_size,
             dim_feats_in=self.scalar_size,
             dim_feats_out=self.scalar_size,
             feats_activation="silu",
             vectors_activation="sigmoid",
-        ) for _ in range(self.n_update_gvps)]
-        return GVPChain(layers, name=name)
+        ) for _ in range(self.n_update_gvps))
+        return GVPChain(specs, name=name)
 
     def _norm_mode(self):
         """Resolve the message_norm config (reference gvp.py:369-389).

@@ -54,10 +54,10 @@ class NoisePredictionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, scalars: Array, vectors: Array) -> Tuple[Array, Array]:
-        layers = []
+        specs = []
         for i in range(self.n_gvps):
             last = i == self.n_gvps - 1
-            layers.append(GVP(
+            specs.append(dict(
                 dim_vectors_in=self.vector_size,
                 dim_vectors_out=1 if last else self.vector_size,
                 dim_feats_in=self.in_scalar_dim,
@@ -66,7 +66,8 @@ class NoisePredictionBlock(nn.Module):
                 feats_activation="silu",
                 vectors_activation="identity" if last else "sigmoid",
             ))
-        scalars, vectors = GVPChain(layers, name="gvps")((scalars, vectors))
+        scalars, vectors = GVPChain(tuple(specs),
+                                    name="gvps")((scalars, vectors))
         scalars = TorchLinear(self.out_scalar_dim,
                               name="to_scalar_output")(scalars)
         vectors = jnp.squeeze(vectors, axis=-2)  # [..., 1, 3] -> [..., 3]

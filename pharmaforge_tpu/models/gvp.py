@@ -122,14 +122,19 @@ class GVP(nn.Module):
 
 
 class GVPChain(nn.Module):
-    """A sequence of GVPs (the reference chains them with nn.Sequential)."""
+    """A sequence of GVPs (the reference chains them with nn.Sequential).
 
-    layers: Sequence[GVP]
+    Takes kwargs-specs rather than constructed modules so the sublayers are
+    created inside this module's scope with stable names (`layers_0`, ...),
+    keeping the parameter tree importer-friendly.
+    """
+
+    specs: Sequence[dict]
 
     @nn.compact
     def __call__(self, data: GVPData) -> GVPData:
-        for layer in self.layers:
-            data = layer(data)
+        for j, spec in enumerate(self.specs):
+            data = GVP(**spec, name=f"layers_{j}")(data)
         return data
 
 

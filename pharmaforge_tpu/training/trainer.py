@@ -220,9 +220,11 @@ class Trainer:
         sums: dict[str, float] = {}
         weights = 0.0
         for batch in datamodule.val_dataloader(seed=self.seed):
+            bs = batch.batch_size
+            # pad partial batches so every bucket compiles a single shape
+            batch, _ = pad_batch_to_multiple(batch, self.batch_size)
             key, sub = jax.random.split(key)
             aux = eval_step(params, batch, sub)
-            bs = batch.batch_size
             for k, v in aux.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * bs
             weights += bs

@@ -1,0 +1,84 @@
+"""Sampling-chain performance ablation on the real chip.
+
+Times the jitted reverse-diffusion scan across axis sweeps (pocket size,
+neighbor-list width, batch, matmul precision) to localize where the
+per-step milliseconds go. Run directly: python scripts/perf_ablation.py
+"""
+
+import argparse
+import time
+
+import numpy as np
+
+
+def time_chain(model, batch, repeats=3):
+    import jax
+    sampler = jax.jit(lambda p, b, k: model.sample_given_receptor(p, b, k))
+    params = model.init_params(jax.random.key(0), batch)
+    out = sampler(params, batch, jax.random.key(1))
+    jax.block_until_ready(out["pharm_x"])
+    t0 = time.perf_counter()
+    for r in range(repeats):
+        out = sampler(params, batch, jax.random.key(2 + r))
+    jax.block_until_ready(out["pharm_x"])
+    dt = (time.perf_counter() - t0) / repeats
+    return dt
+
+
+def make_batch(b, p, seed=0):
+    from pharmaforge_tpu.data.batch import tile_pocket
+    rng = np.random.default_rng(seed)
+    dirs = rng.normal(size=(p, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    prot_x = (dirs * rng.uniform(4, 12, (p, 1))).astype(np.float32)
+    prot_h = np.eye(11, dtype=np.float32)[rng.integers(0, 11, p)]
+    sizes = rng.integers(3, 9, b)
+    return tile_pocket(prot_x, prot_h, sizes, prot_bucket_multiple=p)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--precision", default="bfloat16")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
+    jax.config.update("jax_default_matmul_precision", args.precision)
+
+    from pharmaforge_tpu.models.diffusion import (
+        DiffusionConfig,
+        PharmacophoreDiffusion,
+    )
+
+    base = dict(n_timesteps=100, n_convs=2, n_hidden_scalars=128,
+                vector_size=16, message_norm="mean", n_message_gvps=3,
+                n_update_gvps=2, n_noise_gvps=4, pf_k=5, pp_k_max=32)
+
+    variants = [
+        ("base B=32 P=256", dict(), (32, 256)),
+        ("T=10 (step cost)", dict(n_timesteps=10), (32, 256)),
+        ("pp_k_max=8", dict(pp_k_max=8), (32, 256)),
+        ("pp cutoff off", dict(graph_cutoffs=(("pp", 0.0), ("pf", 8.0),
+                                              ("fp", 8.0), ("ff", 9.0)),
+                               pp_k_max=1), (32, 256)),
+        ("n_convs=1", dict(n_convs=1), (32, 256)),
+        ("P=64", dict(), (32, 64)),
+        ("B=8", dict(), (8, 256)),
+        ("B=128", dict(), (128, 256)),
+    ]
+
+    results = {}
+    for name, overrides, (b, p) in variants:
+        cfg = DiffusionConfig(**{**base, **overrides})
+        model = PharmacophoreDiffusion(cfg)
+        batch = make_batch(b, p)
+        dt = time_chain(model, batch)
+        per_step_ms = dt / cfg.n_timesteps * 1000
+        results[name] = (dt, per_step_ms, b / dt)
+        print(f"{name:24s} chain {dt*1000:8.1f} ms | {per_step_ms:6.2f} ms/step"
+              f" | {b/dt:8.1f} samples/s")
+    return results
+
+
+if __name__ == "__main__":
+    main()

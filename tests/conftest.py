@@ -15,6 +15,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
+# force the CPU platform through jax.config: the env var alone is not enough
+# on hosts whose site customization registers a TPU plugin and re-selects it
+# (tests must not contend with TPU jobs for the single tunneled chip)
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: this box has a single CPU core, recompiling
 # identical test programs on every run would dominate wall-clock
 jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
