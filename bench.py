@@ -41,6 +41,8 @@ def main():
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "
                         "the MXU fast path; coordinates stay fp32)")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of the timed region here")
     args = p.parse_args()
 
     import jax
@@ -67,7 +69,10 @@ def main():
                               n_hidden_scalars=128, vector_size=16,
                               message_norm="mean", n_message_gvps=3,
                               n_update_gvps=2, n_noise_gvps=4, pf_k=5,
-                              pp_k_max=32)
+                              pp_k_max=16,
+                              compute_dtype="bfloat16"
+                              if args.matmul_precision == "bfloat16"
+                              else "float32")
     model = PharmacophoreDiffusion(cfg)
 
     rng = np.random.default_rng(0)
@@ -89,12 +94,17 @@ def main():
     jax.block_until_ready(out["pharm_x"])
 
     n_batches = -(-args.samples_per_pocket // args.max_batch_size)
-    t0 = time.perf_counter()
-    for r in range(args.repeats):
-        for i in range(n_batches):
-            out = sampler(params, batch, jax.random.key(2 + r * 97 + i))
-        jax.block_until_ready(out["pharm_x"])
-    dt = time.perf_counter() - t0
+
+    import contextlib
+    profile_ctx = (jax.profiler.trace(args.profile_dir)
+                   if args.profile_dir else contextlib.nullcontext())
+    with profile_ctx:
+        t0 = time.perf_counter()
+        for r in range(args.repeats):
+            for i in range(n_batches):
+                out = sampler(params, batch, jax.random.key(2 + r * 97 + i))
+            jax.block_until_ready(out["pharm_x"])
+        dt = time.perf_counter() - t0
 
     total_samples = args.repeats * n_batches * batch.batch_size
     samples_per_sec = total_samples / dt

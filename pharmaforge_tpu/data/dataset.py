@@ -174,6 +174,51 @@ class ProteinPharmacophoreDataset:
             "prot_ph_x": prot_ph_pos, "prot_ph_h": prot_ph_h,
         }
 
+    def pack_batch(self, indices, max_pharm: int, max_prot: int
+                   ) -> PharmComplexBatch:
+        """Pack a batch straight from the flat arrays (native fast path).
+
+        Equivalent to collating __getitem__ samples, but slicing + one-hot +
+        padding run in the C++ packer (pharmaforge_tpu.native) over the flat
+        preprocessed arrays — the host-side hot loop during training.
+        """
+        from pharmaforge_tpu import native
+
+        indices = np.asarray(indices)
+        prot_spans = self.prot_idx[indices].astype(np.int64)
+        prot_x, prot_h, prot_mask = native.pack_batch(
+            self.prot_pos, self.prot_feat.astype(np.int32), prot_spans,
+            max_prot, len(self.prot_elements))
+
+        pharm_spans = self.pharm_idx[indices].astype(np.int64)
+        if self.subsample_pharms:
+            # per-row subsample selections as a gather list
+            idx_chunks, offsets = [], [0]
+            for s, e in pharm_spans:
+                n = int(e - s)
+                if n > self.subsample_min - 1:
+                    sub_max = min(self.subsample_max, n)
+                    k = (self.subsample_min if self.subsample_min == sub_max
+                         else int(self._rng.integers(self.subsample_min,
+                                                     sub_max + 1)))
+                    sel = s + self._rng.choice(n, size=k, replace=False)
+                else:
+                    sel = np.arange(s, e)
+                idx_chunks.append(sel.astype(np.int64))
+                offsets.append(offsets[-1] + len(sel))
+            pharm_x, pharm_h, pharm_mask = native.pack_batch_gather(
+                self.pharm_pos, self.pharm_feat.astype(np.int32),
+                np.concatenate(idx_chunks), np.asarray(offsets, np.int64),
+                max_pharm, len(self.ph_type_map))
+        else:
+            pharm_x, pharm_h, pharm_mask = native.pack_batch(
+                self.pharm_pos, self.pharm_feat.astype(np.int32),
+                pharm_spans, max_pharm, len(self.ph_type_map))
+
+        return PharmComplexBatch(
+            pharm_x=pharm_x, pharm_h=pharm_h, pharm_mask=pharm_mask,
+            prot_x=prot_x, prot_h=prot_h, prot_mask=prot_mask)
+
     def get_files(self, idx: int):
         """Receptor filepath + rdkit ligand for a sample
         (reference protein_pharm_dataset.py:201-207)."""
@@ -249,6 +294,10 @@ class BucketedLoader:
         if self.shuffle:
             self._rng.shuffle(batches)
         for bucket, chunk in batches:
-            samples = [self.dataset[i] for i in chunk]
-            yield collate_complexes(samples, max_pharm=self.max_pharm,
-                                    max_prot=bucket)
+            if hasattr(self.dataset, "pack_batch"):
+                yield self.dataset.pack_batch(chunk, max_pharm=self.max_pharm,
+                                              max_prot=bucket)
+            else:
+                samples = [self.dataset[i] for i in chunk]
+                yield collate_complexes(samples, max_pharm=self.max_pharm,
+                                        max_prot=bucket)

@@ -99,8 +99,13 @@ class GVPMultiEdgeConv(nn.Module):
     rbf_dim: int = 16
     message_norm: Union[float, int, str, tuple] = 10
     dropout: float = 0.0
+    # activation dtype of the edge-message chains ('bfloat16' halves HBM
+    # traffic on the dominant [B, Nd, M, ...] edge tensors; the aggregation,
+    # residual stream and node updates stay fp32)
+    compute_dtype: str = "float32"
 
     def _message_chain(self, name: str) -> GVPChain:
+        dtype = None if self.compute_dtype == "float32" else self.compute_dtype
         specs = []
         for i in range(self.n_message_gvps):
             if i == 0:
@@ -117,7 +122,7 @@ class GVPMultiEdgeConv(nn.Module):
                 feats_activation="silu",
                 vectors_activation="sigmoid",
             ))
-        return GVPChain(tuple(specs), name=name)
+        return GVPChain(tuple(specs), dtype=dtype, name=name)
 
     def _update_chain(self, name: str) -> GVPChain:
         specs = tuple(dict(
@@ -204,7 +209,10 @@ class GVPMultiEdgeConv(nn.Module):
             sca_in = jnp.concatenate([h_g, d_rbf], axis=-1)
 
             s_msg, v_msg = chain((sca_in, vec_in))
-            s_agg, v_agg, cnt = _aggregate(s_msg, v_msg, emask, mean=use_mean)
+            # aggregate in fp32 regardless of the chain's compute dtype
+            s_agg, v_agg, cnt = _aggregate(
+                s_msg.astype(jnp.float32), v_msg.astype(jnp.float32),
+                emask, mean=use_mean)
 
             if agg[dst_nt] is None:
                 agg[dst_nt] = (s_agg, v_agg)

@@ -95,9 +95,13 @@ class DiffusionConfig:
         ("pp", 3.5), ("pf", 8.0), ("fp", 8.0), ("ff", 9.0))
     # TPU-specific: static width of the prot-prot neighbor list. The
     # reference caps pp degree at 100 (protein_pharm_dataset.py:235) but the
-    # true degree at 3.5 A between heavy atoms is ~10-14; 32 keeps exactness
-    # with headroom while bounding the gathered edge tensor.
-    pp_k_max: int = 32
+    # true degree at 3.5 A between heavy atoms is ~10-14, so nearest-16 is
+    # lossless in practice while bounding the gathered edge tensor (pp edges
+    # dominate step time; see scripts/perf_ablation.py).
+    pp_k_max: int = 16
+    # activation dtype inside the message/update chains: 'bfloat16' halves
+    # the HBM traffic of the edge tensors (params and reductions stay fp32)
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, config: dict) -> "DiffusionConfig":
@@ -145,6 +149,7 @@ class DiffusionConfig:
             ff_k=self.ff_k,
             pf_k=self.pf_k,
             prune_dead_prot_tail=self.prune_dead_prot_tail,
+            compute_dtype=self.compute_dtype,
         )
 
 

@@ -111,6 +111,8 @@ class PharmRecDynamics(nn.Module):
     # noise head only reads pharm state); numerically identical, removes the
     # expensive pp edge type from the last layer
     prune_dead_prot_tail: bool = True
+    # activation dtype for the conv message/update chains
+    compute_dtype: str = "float32"
 
     @nn.compact
     def __call__(self,
@@ -164,6 +166,7 @@ class PharmRecDynamics(nn.Module):
                 n_update_gvps=self.n_update_gvps,
                 message_norm=self.message_norm,
                 dropout=self.dropout,
+                compute_dtype=self.compute_dtype,
                 name=f"conv_layers_{i}",
             )(node_feats, node_masks, edges, pp_nbrs,
               deterministic=deterministic, update_ntypes=update_ntypes)

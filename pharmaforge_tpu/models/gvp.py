@@ -58,20 +58,30 @@ def _activation(name: str) -> Callable[[Array], Array]:
 
 
 class TorchLinear(nn.Module):
-    """Dense layer with torch's default initialization scheme."""
+    """Dense layer with torch's default initialization scheme.
+
+    `dtype` is the computation dtype: params are stored fp32 and cast for
+    the matmul (standard mixed-precision policy).
+    """
 
     features: int
     use_bias: bool = True
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         fan_in = x.shape[-1]
         kernel = self.param("kernel", torch_linear_init(fan_in),
                             (fan_in, self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
         y = x @ kernel
         if self.use_bias:
             bias = self.param("bias", torch_linear_init(fan_in),
                               (self.features,))
+            if self.dtype is not None:
+                bias = bias.astype(self.dtype)
             y = y + bias
         return y
 
@@ -90,6 +100,7 @@ class GVP(nn.Module):
     hidden_vectors: Optional[int] = None
     feats_activation: str = "silu"
     vectors_activation: str = "sigmoid"
+    dtype: Optional[str] = None  # computation dtype; params stay fp32
 
     @nn.compact
     def __call__(self, data: GVPData) -> GVPData:
@@ -104,17 +115,24 @@ class GVP(nn.Module):
                         (self.dim_vectors_in, dim_h))
         wu = self.param("Wu", torch_linear_init(dim_h),
                         (dim_h, self.dim_vectors_out))
+        if self.dtype is not None:
+            feats = feats.astype(self.dtype)
+            vectors = vectors.astype(self.dtype)
+            wh = wh.astype(self.dtype)
+            wu = wu.astype(self.dtype)
 
         vh = jnp.einsum("...vc,vh->...hc", vectors, wh)
         vu = jnp.einsum("...hc,hu->...uc", vh, wu)
 
-        sh = norm_no_nan(vh)  # [..., dim_h]
+        # norms always accumulate in fp32 (bf16 sums of squares lose bits)
+        sh = norm_no_nan(vh.astype(jnp.float32)).astype(feats.dtype)
         s = jnp.concatenate([feats, sh], axis=-1)
 
         feats_out = _activation(self.feats_activation)(
-            TorchLinear(self.dim_feats_out, name="to_feats_out")(s))
+            TorchLinear(self.dim_feats_out, dtype=self.dtype,
+                        name="to_feats_out")(s))
 
-        gating = TorchLinear(self.dim_vectors_out,
+        gating = TorchLinear(self.dim_vectors_out, dtype=self.dtype,
                              name="scalar_to_vector_gates")(feats_out)
         vectors_out = _activation(self.vectors_activation)(
             gating)[..., None] * vu
@@ -130,11 +148,12 @@ class GVPChain(nn.Module):
     """
 
     specs: Sequence[dict]
+    dtype: Optional[str] = None
 
     @nn.compact
     def __call__(self, data: GVPData) -> GVPData:
         for j, spec in enumerate(self.specs):
-            data = GVP(**spec, name=f"layers_{j}")(data)
+            data = GVP(**spec, dtype=self.dtype, name=f"layers_{j}")(data)
         return data
 
 

@@ -52,19 +52,18 @@ def main():
 
     base = dict(n_timesteps=100, n_convs=2, n_hidden_scalars=128,
                 vector_size=16, message_norm="mean", n_message_gvps=3,
-                n_update_gvps=2, n_noise_gvps=4, pf_k=5, pp_k_max=32)
+                n_update_gvps=2, n_noise_gvps=4, pf_k=5, pp_k_max=16)
 
     variants = [
-        ("base B=32 P=256", dict(), (32, 256)),
-        ("T=10 (step cost)", dict(n_timesteps=10), (32, 256)),
-        ("pp_k_max=8", dict(pp_k_max=8), (32, 256)),
+        ("base B=32 P=256 K=16", dict(), (32, 256)),
+        ("pp_k_max=32", dict(pp_k_max=32), (32, 256)),
+        ("bf16 chains", dict(compute_dtype="bfloat16"), (32, 256)),
+        ("bf16 + K=32", dict(compute_dtype="bfloat16", pp_k_max=32), (32, 256)),
         ("pp cutoff off", dict(graph_cutoffs=(("pp", 0.0), ("pf", 8.0),
                                               ("fp", 8.0), ("ff", 9.0)),
                                pp_k_max=1), (32, 256)),
         ("n_convs=1", dict(n_convs=1), (32, 256)),
-        ("P=64", dict(), (32, 64)),
-        ("B=8", dict(), (8, 256)),
-        ("B=128", dict(), (128, 256)),
+        ("B=128 bf16", dict(compute_dtype="bfloat16"), (128, 256)),
     ]
 
     results = {}

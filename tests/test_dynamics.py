@@ -66,6 +66,22 @@ def test_dynamics_se3_equivariance(rng):
     np.testing.assert_allclose(eps_x_r, eps_x @ rot.T, atol=2e-4)
 
 
+def test_compute_dtype_bf16_close_to_fp32(rng):
+    """bf16 message chains are a perf mode: outputs must track fp32 within
+    bf16 tolerance and stay finite/masked."""
+    batch = make_complex_batch(rng, p=32, p_valid=(28, 20))
+    model32 = make_model(pf_k=5)
+    params, eps_h32, eps_x32 = apply_model(model32, batch)
+    model16 = make_model(pf_k=5, compute_dtype="bfloat16")
+    _, eps_h16, eps_x16 = apply_model(model16, batch, params=params)
+    assert np.isfinite(eps_h16).all() and np.isfinite(eps_x16).all()
+    assert (eps_h16[~batch.pharm_mask] == 0).all()
+    scale = np.abs(eps_h32).max() + 1e-6
+    assert np.abs(eps_h16 - eps_h32).max() / scale < 0.15
+    scale = np.abs(eps_x32).max() + 1e-6
+    assert np.abs(eps_x16 - eps_x32).max() / scale < 0.15
+
+
 def test_dynamics_padding_invariance(rng):
     """Adding more padded slots must not change the outputs."""
     batch = make_complex_batch(rng, f=6, p=24, f_valid=(5, 3),
