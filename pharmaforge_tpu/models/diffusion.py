@@ -299,12 +299,20 @@ class PharmacophoreDiffusion:
     def sample_given_receptor(self, params, batch: PharmComplexBatch,
                               key: jax.Array,
                               init_pharm_com: Optional[Array] = None,
-                              visualize_trajectory: bool = False):
+                              visualize_trajectory: bool = False,
+                              noise: Optional[Dict[str, Array]] = None):
         """Full reverse DDPM chain as one lax.scan
         (reference pharmacodiff.py:433-514).
 
         Returns a dict with final pharm_x/pharm_h in the original pocket
         frame, plus stacked trajectory frames when requested.
+
+        `noise` optionally injects every random draw of the chain — the
+        harness for matching reference-checkpoint denoising trajectories at
+        numerical tolerance (same weights + same noise => same trajectory up
+        to float error). Keys: 'x_T' [B,F,3], 'h_T' [B,F,nf] initial
+        latents; 'pos'/'feat' [T,B,F,...] per-step posterior noise ordered
+        by loop iteration (i=0 is s=T-1).
         """
         cfg = self.config
         pharm_mask = jnp.asarray(batch.pharm_mask)
@@ -327,8 +335,12 @@ class PharmacophoreDiffusion:
         prot_x = prot_x0 - init_pharm_com[:, None]
 
         k_x, k_h, k_chain = jax.random.split(key, 3)
-        x_t = jax.random.normal(k_x, (b, f, 3)) * fmask
-        h_t = jax.random.normal(k_h, (b, f, cfg.pharm_nf)) * fmask
+        if noise is not None and "x_T" in noise:
+            x_t = jnp.asarray(noise["x_T"]) * fmask
+            h_t = jnp.asarray(noise["h_T"]) * fmask
+        else:
+            x_t = jax.random.normal(k_x, (b, f, 3)) * fmask
+            h_t = jax.random.normal(k_h, (b, f, cfg.pharm_nf)) * fmask
         x_init, h_init, prot_x_init = x_t, h_t, prot_x
 
         gamma = self.gamma_table
@@ -342,7 +354,8 @@ class PharmacophoreDiffusion:
             return (x_t + delta[:, None]) * fmask, \
                    h_t * cfg.pharm_feat_norm_constant
 
-        def step(carry, s):
+        def step(carry, scan_in):
+            s, step_noise = scan_in
             x_t, h_t, prot_x, key = carry
             key, k_px, k_ph = jax.random.split(key, 3)
 
@@ -374,8 +387,13 @@ class PharmacophoreDiffusion:
 
             # noise is added at EVERY step including s=0
             # (reference pharmacodiff.py:423-426)
-            x_t = mu_pos + sigma * jax.random.normal(k_px, x_t.shape)
-            h_t = mu_feat + sigma * jax.random.normal(k_ph, h_t.shape)
+            if step_noise is None:
+                pos_noise = jax.random.normal(k_px, x_t.shape)
+                feat_noise = jax.random.normal(k_ph, h_t.shape)
+            else:
+                pos_noise, feat_noise = step_noise
+            x_t = mu_pos + sigma * pos_noise
+            h_t = mu_feat + sigma * feat_noise
             x_t = x_t * fmask
             h_t = h_t * fmask
 
@@ -389,8 +407,13 @@ class PharmacophoreDiffusion:
             return carry, None
 
         steps = jnp.arange(n_t - 1, -1, -1)
+        if noise is not None and "pos" in noise:
+            scan_in = (steps, (jnp.asarray(noise["pos"]),
+                               jnp.asarray(noise["feat"])))
+        else:
+            scan_in = (steps, None)
         (x_t, h_t, prot_x, _), traj = jax.lax.scan(
-            step, (x_t, h_t, prot_x, k_chain), steps)
+            step, (x_t, h_t, prot_x, k_chain), scan_in)
 
         # finalize (pharmacodiff.py:479-488)
         x_0, h_0 = x_t, h_t

@@ -107,6 +107,37 @@ def test_sampling_respects_init_com(rng):
     assert np.isfinite(com).all()
 
 
+def test_sampling_noise_injection_reproducible(rng):
+    """Injecting every random draw makes the chain a deterministic function
+    of (params, noise) — the trajectory-matching harness contract."""
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20,))
+    cfg = tiny_config()
+    model = PharmacophoreDiffusion(cfg)
+    params = model.init_params(jax.random.key(0), batch)
+    b, f = batch.pharm_mask.shape
+    t = cfg.n_timesteps
+    noise = {
+        "x_T": rng.normal(size=(b, f, 3)).astype(np.float32),
+        "h_T": rng.normal(size=(b, f, 6)).astype(np.float32),
+        "pos": rng.normal(size=(t, b, f, 3)).astype(np.float32),
+        "feat": rng.normal(size=(t, b, f, 6)).astype(np.float32),
+    }
+    out1 = model.sample_given_receptor(params, batch, jax.random.key(1),
+                                       noise=noise, visualize_trajectory=True)
+    out2 = model.sample_given_receptor(params, batch, jax.random.key(999),
+                                       noise=noise)
+    np.testing.assert_allclose(np.asarray(out1["pharm_x"]),
+                               np.asarray(out2["pharm_x"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1["pharm_h"]),
+                               np.asarray(out2["pharm_h"]), atol=1e-6)
+    # different injected noise changes the outcome
+    noise2 = dict(noise, x_T=noise["x_T"] + 1.0)
+    out3 = model.sample_given_receptor(params, batch, jax.random.key(1),
+                                       noise=noise2)
+    assert np.abs(np.asarray(out3["pharm_x"])
+                  - np.asarray(out1["pharm_x"])).max() > 1e-4
+
+
 def test_config_from_yaml_dict():
     config = {
         "dataset": {"ph_type_map": list("abcdef"),
