@@ -24,7 +24,7 @@ normalization (gvp.py:499-517), and the residual + double-layernorm update
 
 from __future__ import annotations
 
-from typing import Dict, Tuple, Union
+from typing import Dict, NamedTuple, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -61,13 +61,51 @@ def _edge_geometry(x_dst_pairs: Array, x_src_pairs: Array, rbf_dmax: float,
     return x_dir, d_rbf
 
 
-def _gather_neighbors(h_src: Array, x_src: Array, v_src: Array,
-                      idx: Array) -> Tuple[Array, Array, Array]:
+class EdgeGeometry(NamedTuple):
+    """Precomputed per-edge geometry: unit direction + RBF embedding."""
+
+    x_dir: Array  # [B, Nd, M, 3]
+    d_rbf: Array  # [B, Nd, M, RBF_DIM]
+
+
+def build_edge_geometry(pharm_x: Array, prot_x: Array, pp_nbrs: NeighborList,
+                        rbf_dmax: float = 15.0, rbf_dim: int = 16,
+                        pp_geo: "EdgeGeometry" = None
+                        ) -> Dict[str, EdgeGeometry]:
+    """Edge geometry for all 4 edge types, computed ONCE per denoiser
+    forward (coordinates do not change across the conv stack; the reference
+    re-runs apply_edges per conv, gvp.py:472-480).
+
+    `fp` derives from `pf` by transpose + negation (same index pairs
+    reversed). `pp` geometry is translation invariant, so during sampling it
+    is constant across the whole chain — pass it in via `pp_geo` to hoist it
+    out of the lax.scan entirely.
+    """
+    from pharmaforge_tpu.ops.neighbors import gather_neighbor_coords
+
+    geo: Dict[str, EdgeGeometry] = {}
+    geo["ff"] = EdgeGeometry(*_edge_geometry(
+        pharm_x[:, :, None, :], pharm_x[:, None, :, :], rbf_dmax, rbf_dim))
+    pf = EdgeGeometry(*_edge_geometry(
+        pharm_x[:, :, None, :], prot_x[:, None, :, :], rbf_dmax, rbf_dim))
+    geo["pf"] = pf
+    geo["fp"] = EdgeGeometry(
+        x_dir=-jnp.swapaxes(pf.x_dir, 1, 2),
+        d_rbf=jnp.swapaxes(pf.d_rbf, 1, 2))
+    if pp_geo is None:
+        x_g = gather_neighbor_coords(prot_x, pp_nbrs.idx)
+        pp_geo = EdgeGeometry(*_edge_geometry(
+            prot_x[:, :, None, :], x_g, rbf_dmax, rbf_dim))
+    geo["pp"] = pp_geo
+    return geo
+
+
+def _gather_neighbors(h_src: Array, v_src: Array,
+                      idx: Array) -> Tuple[Array, Array]:
     """Gather per-dst neighbor features. idx: [B, Nd, K] into the src axis."""
     h_g = jnp.take_along_axis(h_src[:, None], idx[..., None], axis=2)
-    x_g = jnp.take_along_axis(x_src[:, None], idx[..., None], axis=2)
     v_g = jnp.take_along_axis(v_src[:, None], idx[..., None, None], axis=2)
-    return h_g, x_g, v_g
+    return h_g, v_g
 
 
 def _aggregate(s_msg: Array, v_msg: Array, mask: Array,
@@ -166,9 +204,13 @@ class GVPMultiEdgeConv(nn.Module):
                  node_masks: Dict[str, Array],
                  edges: EdgeMasks,
                  pp_nbrs: NeighborList,
+                 edge_geo: Dict[str, EdgeGeometry],
                  deterministic: bool = True,
                  update_ntypes: tuple = ("pharm", "prot")) -> Dict[str, NodeData]:
-        """`update_ntypes` prunes destination node types whose updated state
+        """`edge_geo` carries the per-edge geometry precomputed once per
+        denoiser forward (coordinates do not change across the conv stack).
+
+        `update_ntypes` prunes destination node types whose updated state
         is never consumed downstream (the final conv only feeds the pharm
         noise head, so its prot-side messages + update are dead compute —
         skipping them changes nothing numerically and removes the most
@@ -186,27 +228,22 @@ class GVPMultiEdgeConv(nn.Module):
             key = "_".join(etype)
             chain = self._message_chain(f"edge_message_fns_{key}")
 
-            h_src, x_src, v_src = node_feats[src_nt]
-            h_dst_x = node_feats[dst_nt][1]
+            h_src, _, v_src = node_feats[src_nt]
 
             if ename == "pp":
                 idx, emask = pp_nbrs.idx, pp_nbrs.mask
-                h_g, x_g, v_g = _gather_neighbors(h_src, x_src, v_src, idx)
-                x_dst_pairs = h_dst_x[:, :, None, :]
+                h_g, v_g = _gather_neighbors(h_src, v_src, idx)
             else:
                 emask = getattr(edges, ename)  # [B, Nd, Ns]
                 nd, ns = emask.shape[1], emask.shape[2]
                 h_g = jnp.broadcast_to(h_src[:, None], (h_src.shape[0], nd, ns, h_src.shape[-1]))
-                x_g = jnp.broadcast_to(x_src[:, None], (x_src.shape[0], nd, ns, 3))
                 v_g = jnp.broadcast_to(
                     v_src[:, None],
                     (v_src.shape[0], nd, ns, v_src.shape[-2], 3))
-                x_dst_pairs = h_dst_x[:, :, None, :]
 
-            x_dir, d_rbf = _edge_geometry(x_dst_pairs, x_g,
-                                          self.rbf_dmax, self.rbf_dim)
-            vec_in = jnp.concatenate([x_dir[..., None, :], v_g], axis=-2)
-            sca_in = jnp.concatenate([h_g, d_rbf], axis=-1)
+            geo = edge_geo[ename]
+            vec_in = jnp.concatenate([geo.x_dir[..., None, :], v_g], axis=-2)
+            sca_in = jnp.concatenate([h_g, geo.d_rbf], axis=-1)
 
             s_msg, v_msg = chain((sca_in, vec_in))
             # aggregate in fp32 regardless of the chain's compute dtype

@@ -328,9 +328,15 @@ class PharmacophoreDiffusion:
             init_pharm_com = init_prot_com
         init_pharm_com = jnp.asarray(init_pharm_com)
 
-        # pp list is translation invariant: build once from raw coords
+        # pp neighbor list AND geometry are translation invariant: build both
+        # once from the raw coords and reuse across all T steps
         pp = build_pp_neighbors(prot_x0, prot_mask, self.cutoffs["pp"],
                                 cfg.pp_k_max)
+        from pharmaforge_tpu.models.conv import EdgeGeometry, _edge_geometry
+        from pharmaforge_tpu.ops.neighbors import gather_neighbor_coords
+        pp_geo = EdgeGeometry(*_edge_geometry(
+            prot_x0[:, :, None, :], gather_neighbor_coords(prot_x0, pp.idx),
+            15.0, 16))
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 
@@ -369,7 +375,7 @@ class PharmacophoreDiffusion:
             t_arr = jnp.full((b,), (s + 1).astype(jnp.float32) / n_t)
             pred_h, pred_x = self.dynamics.apply(
                 {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
-                prot_mask, t_arr, pp, deterministic=True)
+                prot_mask, t_arr, pp, deterministic=True, pp_geo=pp_geo)
 
             var_terms = sigma2_tgs / alpha_tgs / sigma_t
             sigma = sigma_tgs * sigma_s / sigma_t

@@ -30,7 +30,11 @@ from typing import Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pharmaforge_tpu.models.conv import GVPMultiEdgeConv
+from pharmaforge_tpu.models.conv import (
+    EdgeGeometry,
+    GVPMultiEdgeConv,
+    build_edge_geometry,
+)
 from pharmaforge_tpu.models.gvp import GVP, GVPChain, TorchLinear
 from pharmaforge_tpu.ops.neighbors import NeighborList, build_dynamic_edges
 
@@ -124,7 +128,11 @@ class PharmRecDynamics(nn.Module):
                  prot_mask: Array,   # [B, P] bool
                  t: Array,           # [B] float in [0, 1]
                  pp_nbrs: NeighborList,
-                 deterministic: bool = True) -> Tuple[Array, Array]:
+                 deterministic: bool = True,
+                 pp_geo: EdgeGeometry = None) -> Tuple[Array, Array]:
+        """`pp_geo` optionally injects precomputed prot-prot edge geometry
+        (translation invariant, so the sampling chain computes it once for
+        all T steps instead of once per step)."""
         cutoffs = dict(self.graph_cutoffs)
 
         # timestep concat + scalar encoding
@@ -151,9 +159,13 @@ class PharmRecDynamics(nn.Module):
         }
         node_masks = {"pharm": pharm_mask, "prot": prot_mask}
 
-        # dynamic edges from the current noisy coordinates
+        # dynamic edges from the current noisy coordinates; geometry for all
+        # edge types is computed once per forward (x is constant across the
+        # conv stack)
         edges = build_dynamic_edges(pharm_x_t, pharm_mask, prot_x, prot_mask,
                                     cutoffs, ff_k=self.ff_k, pf_k=self.pf_k)
+        edge_geo = build_edge_geometry(pharm_x_t, prot_x, pp_nbrs,
+                                       pp_geo=pp_geo)
 
         for i in range(self.n_convs):
             last = i == self.n_convs - 1
@@ -168,7 +180,7 @@ class PharmRecDynamics(nn.Module):
                 dropout=self.dropout,
                 compute_dtype=self.compute_dtype,
                 name=f"conv_layers_{i}",
-            )(node_feats, node_masks, edges, pp_nbrs,
+            )(node_feats, node_masks, edges, pp_nbrs, edge_geo,
               deterministic=deterministic, update_ntypes=update_ntypes)
 
         eps_h, eps_x = NoisePredictionBlock(

@@ -143,6 +143,11 @@ def radius_neighbor_list(x, mask, r, k_max, exclude_self=True):
     return NeighborList(idx=idx.astype(jnp.int32), mask=nbr_mask)
 
 
+def gather_neighbor_coords(x, idx):
+    """x: [B, N, 3], idx: [B, N, K] -> gathered coords [B, N, K, 3]."""
+    return jnp.take_along_axis(x[:, None], idx[..., None], axis=2)
+
+
 def build_pp_neighbors(prot_x, prot_mask, cutoff_pp, k_max):
     """Static prot-prot neighbor list (translation invariant; compute once)."""
     if cutoff_pp <= 0:
