@@ -32,11 +32,16 @@ class PocketSampler:
 
     def __init__(self, model: PharmacophoreDiffusion, params,
                  pharm_type_map: Optional[List[str]] = None,
-                 prot_bucket_multiple: int = 64):
+                 prot_bucket_multiple: int = 64,
+                 fixed_prot_slots: Optional[int] = None):
+        """`fixed_prot_slots` pads every pocket to one protein slot count so
+        the reverse-diffusion chain compiles exactly once across pockets of
+        different sizes (multi-pocket evaluation sweeps)."""
         self.model = model
         self.params = params
         self.pharm_type_map = pharm_type_map or PH_IDX_TO_TYPE
         self.prot_bucket_multiple = prot_bucket_multiple
+        self.fixed_prot_slots = fixed_prot_slots
         self._jitted: Dict[bool, callable] = {}
 
     def _sampler(self, visualize: bool):
@@ -84,6 +89,7 @@ class PocketSampler:
                 pocket["prot_x"], pocket["prot_h"], pad_sizes,
                 n_pharm_feats=self.model.config.pharm_nf,
                 max_pharm=max(DEFAULT_MAX_PHARM, max(pad_sizes)),
+                max_prot=self.fixed_prot_slots,
                 prot_bucket_multiple=self.prot_bucket_multiple)
 
             if init_pharm_com is not None:

@@ -47,6 +47,33 @@ from pharmaforge_tpu.training.train_state import (
 )
 
 
+def _with_retry(fn, *args, retries: int = 2, backoff: float = 15.0, **kwargs):
+    """Retry transient device/compile-service failures.
+
+    On this deployment the compile service lives behind a tunnel that can
+    drop a response mid-read (JaxRuntimeError INTERNAL ... remote_compile);
+    retrying after a pause recovers. Non-transient errors re-raise after the
+    retry budget.
+    """
+    import time as _time
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:  # jax runtime errors subclass Exception
+            name = type(e).__name__
+            transient = ("JaxRuntimeError" in name
+                         or "INTERNAL" in str(e)
+                         or "remote_compile" in str(e))
+            if not transient or attempt == retries:
+                raise
+            last = e
+            print(f"transient device failure ({e}); retrying in {backoff}s "
+                  f"({attempt + 1}/{retries})")
+            _time.sleep(backoff)
+    raise last  # pragma: no cover
+
+
 class Trainer:
 
     def __init__(self, config: dict, run_dir: Path,
@@ -132,7 +159,9 @@ class Trainer:
             self.plateau.load_state_dict(meta.get("plateau", {}))
 
         state = replicate(state, self.mesh)
-        train_step = make_train_step(model, self.optimizer)
+        # donation is off so a transient step failure can retry with intact
+        # inputs (donated buffers may be invalidated by a failed call)
+        train_step = make_train_step(model, self.optimizer, donate=False)
         eval_step = make_eval_step(model)
 
         size_dist = PharmSizeDistribution(
@@ -163,7 +192,8 @@ class Trainer:
                     batch, int(np.prod(self.mesh.devices.shape)))
                 batch = shard_batch(batch, self.mesh)
                 key, step_key = jax.random.split(key)
-                state, aux = train_step(state, batch, step_key, self.lr)
+                state, aux = _with_retry(train_step, state, batch, step_key,
+                                         self.lr)
 
                 self.global_step += 1
                 metrics = {k: float(v) for k, v in aux.items()}
@@ -224,7 +254,7 @@ class Trainer:
             # pad partial batches so every bucket compiles a single shape
             batch, _ = pad_batch_to_multiple(batch, self.batch_size)
             key, sub = jax.random.split(key)
-            aux = eval_step(params, batch, sub)
+            aux = _with_retry(eval_step, params, batch, sub)
             for k, v in aux.items():
                 sums[k] = sums.get(k, 0.0) + float(v) * bs
             weights += bs
@@ -244,10 +274,19 @@ class Trainer:
                     for p in pockets]
         init_coms = np.stack([p["pharm_x"].mean(axis=0) for p in pockets])
 
-        sampler = PocketSampler(self.model, params)
-        per_pocket = sampler.sample(pockets, n_pharms, key,
-                                    max_batch_size=64,
-                                    init_pharm_com=init_coms)
+        # one sampler reused across calls, every pocket padded to the
+        # dataset-wide slot count: the T-step sampling chain traces and
+        # compiles exactly once for the whole training run
+        if getattr(self, "_sampler", None) is None:
+            from pharmaforge_tpu.data.batch import bucket_size
+            sizes = val_dataset.prot_idx[:, 1] - val_dataset.prot_idx[:, 0]
+            slots = bucket_size(int(sizes.max()))
+            self._sampler = PocketSampler(self.model, params,
+                                          fixed_prot_slots=slots)
+        self._sampler.params = params
+        per_pocket = self._sampler.sample(pockets, n_pharms, key,
+                                          max_batch_size=64,
+                                          init_pharm_com=init_coms)
         flat = [ph for pocket_phs in per_pocket for ph in pocket_phs]
         try:
             return SampleAnalyzer().analyze(flat)

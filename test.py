@@ -93,8 +93,13 @@ def main():
         test_data_module.setup('test')
         test_dataset = test_data_module.val_dataset
 
+    # pad every pocket to the dataset-wide slot count so multi-pocket sweeps
+    # compile the T-step sampling chain exactly once
+    from pharmaforge_tpu.data.batch import bucket_size
+    sizes = test_dataset.prot_idx[:, 1] - test_dataset.prot_idx[:, 0]
     sampler = PocketSampler(model, params,
-                            pharm_type_map=config['dataset']['ph_type_map'])
+                            pharm_type_map=config['dataset']['ph_type_map'],
+                            fixed_prot_slots=bucket_size(int(sizes.max())))
     size_dist = PharmSizeDistribution(
         config['dataset'].get('processed_data_dir'), seed=args.seed)
 
