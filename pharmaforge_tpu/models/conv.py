@@ -30,8 +30,6 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pharmaforge_tpu.models.gvp import GVP, GVPChain, GVPDropout, GVPLayerNorm
-from pharmaforge_tpu.ops.geometry import norm_no_nan, rbf
-from pharmaforge_tpu.ops.neighbors import EdgeMasks, NeighborList
 
 Array = jnp.ndarray
 NodeData = Tuple[Array, Array, Array]  # (scalars [B,N,S], coords [B,N,3], vectors [B,N,V,3])
@@ -44,60 +42,6 @@ ETYPES = (
     ("pharm", "fp", "prot"),
     ("prot", "pp", "prot"),
 )
-
-
-def _edge_geometry(x_dst_pairs: Array, x_src_pairs: Array, rbf_dmax: float,
-                   rbf_dim: int) -> Tuple[Array, Array]:
-    """Normalized displacement + RBF distance embedding for edge pairs.
-
-    Follows reference gvp.py:472-480: x_diff = x_src - x_dst (DGL u_sub_v),
-    dij = norm_no_nan(x_diff) + 1e-8, direction = x_diff / dij,
-    d = RBF(dij, D_max=rbf_dmax, D_count=rbf_dim).
-    """
-    x_diff = x_src_pairs - x_dst_pairs
-    dij = norm_no_nan(x_diff, keepdims=True) + 1e-8
-    x_dir = x_diff / dij
-    d_rbf = rbf(jnp.squeeze(dij, -1), d_max=rbf_dmax, d_count=rbf_dim)
-    return x_dir, d_rbf
-
-
-class EdgeGeometry(NamedTuple):
-    """Precomputed per-edge geometry: unit direction + RBF embedding."""
-
-    x_dir: Array  # [B, Nd, M, 3]
-    d_rbf: Array  # [B, Nd, M, RBF_DIM]
-
-
-def build_edge_geometry(pharm_x: Array, prot_x: Array, pp_nbrs: NeighborList,
-                        rbf_dmax: float = 15.0, rbf_dim: int = 16,
-                        pp_geo: "EdgeGeometry" = None
-                        ) -> Dict[str, EdgeGeometry]:
-    """Edge geometry for all 4 edge types, computed ONCE per denoiser
-    forward (coordinates do not change across the conv stack; the reference
-    re-runs apply_edges per conv, gvp.py:472-480).
-
-    `fp` derives from `pf` by transpose + negation (same index pairs
-    reversed). `pp` geometry is translation invariant, so during sampling it
-    is constant across the whole chain — pass it in via `pp_geo` to hoist it
-    out of the lax.scan entirely.
-    """
-    from pharmaforge_tpu.ops.neighbors import gather_neighbor_coords
-
-    geo: Dict[str, EdgeGeometry] = {}
-    geo["ff"] = EdgeGeometry(*_edge_geometry(
-        pharm_x[:, :, None, :], pharm_x[:, None, :, :], rbf_dmax, rbf_dim))
-    pf = EdgeGeometry(*_edge_geometry(
-        pharm_x[:, :, None, :], prot_x[:, None, :, :], rbf_dmax, rbf_dim))
-    geo["pf"] = pf
-    geo["fp"] = EdgeGeometry(
-        x_dir=-jnp.swapaxes(pf.x_dir, 1, 2),
-        d_rbf=jnp.swapaxes(pf.d_rbf, 1, 2))
-    if pp_geo is None:
-        x_g = gather_neighbor_coords(prot_x, pp_nbrs.idx)
-        pp_geo = EdgeGeometry(*_edge_geometry(
-            prot_x[:, :, None, :], x_g, rbf_dmax, rbf_dim))
-    geo["pp"] = pp_geo
-    return geo
 
 
 def _gather_neighbors(h_src: Array, v_src: Array,
@@ -202,13 +146,13 @@ class GVPMultiEdgeConv(nn.Module):
     def __call__(self,
                  node_feats: Dict[str, NodeData],
                  node_masks: Dict[str, Array],
-                 edges: EdgeMasks,
-                 pp_nbrs: NeighborList,
-                 edge_geo: Dict[str, EdgeGeometry],
+                 bundle: Dict[str, "EdgeData"],
                  deterministic: bool = True,
                  update_ntypes: tuple = ("pharm", "prot")) -> Dict[str, NodeData]:
-        """`edge_geo` carries the per-edge geometry precomputed once per
-        denoiser forward (coordinates do not change across the conv stack).
+        """`bundle` carries per-edge-type adjacency + geometry precomputed
+        once per denoiser forward (models/edges.py) — gathered neighbor
+        lists where the source fan-in is narrow (pp, knn-mode pf), full
+        masks where the source set is tiny.
 
         `update_ntypes` prunes destination node types whose updated state
         is never consumed downstream (the final conv only feeds the pharm
@@ -229,21 +173,20 @@ class GVPMultiEdgeConv(nn.Module):
             chain = self._message_chain(f"edge_message_fns_{key}")
 
             h_src, _, v_src = node_feats[src_nt]
+            ed = bundle[ename]
+            emask = ed.mask
 
-            if ename == "pp":
-                idx, emask = pp_nbrs.idx, pp_nbrs.mask
-                h_g, v_g = _gather_neighbors(h_src, v_src, idx)
+            if ed.idx is not None:
+                h_g, v_g = _gather_neighbors(h_src, v_src, ed.idx)
             else:
-                emask = getattr(edges, ename)  # [B, Nd, Ns]
                 nd, ns = emask.shape[1], emask.shape[2]
                 h_g = jnp.broadcast_to(h_src[:, None], (h_src.shape[0], nd, ns, h_src.shape[-1]))
                 v_g = jnp.broadcast_to(
                     v_src[:, None],
                     (v_src.shape[0], nd, ns, v_src.shape[-2], 3))
 
-            geo = edge_geo[ename]
-            vec_in = jnp.concatenate([geo.x_dir[..., None, :], v_g], axis=-2)
-            sca_in = jnp.concatenate([h_g, geo.d_rbf], axis=-1)
+            vec_in = jnp.concatenate([ed.x_dir[..., None, :], v_g], axis=-2)
+            sca_in = jnp.concatenate([h_g, ed.d_rbf], axis=-1)
 
             s_msg, v_msg = chain((sca_in, vec_in))
             # aggregate in fp32 regardless of the chain's compute dtype

@@ -332,11 +332,8 @@ class PharmacophoreDiffusion:
         # once from the raw coords and reuse across all T steps
         pp = build_pp_neighbors(prot_x0, prot_mask, self.cutoffs["pp"],
                                 cfg.pp_k_max)
-        from pharmaforge_tpu.models.conv import EdgeGeometry, _edge_geometry
-        from pharmaforge_tpu.ops.neighbors import gather_neighbor_coords
-        pp_geo = EdgeGeometry(*_edge_geometry(
-            prot_x0[:, :, None, :], gather_neighbor_coords(prot_x0, pp.idx),
-            15.0, 16))
+        from pharmaforge_tpu.models.edges import gathered_edge_data
+        pp_edge = gathered_edge_data(prot_x0, prot_x0, pp)
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 
@@ -375,7 +372,7 @@ class PharmacophoreDiffusion:
             t_arr = jnp.full((b,), (s + 1).astype(jnp.float32) / n_t)
             pred_h, pred_x = self.dynamics.apply(
                 {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
-                prot_mask, t_arr, pp, deterministic=True, pp_geo=pp_geo)
+                prot_mask, t_arr, pp, deterministic=True, pp_edge=pp_edge)
 
             var_terms = sigma2_tgs / alpha_tgs / sigma_t
             sigma = sigma_tgs * sigma_s / sigma_t

@@ -9,7 +9,7 @@ TPU-native re-design of the reference `PharmRecDynamicsGVP` +
 * vector channels start at zero (dynamics_gvp.py:156-173);
 * the dynamic `ff`/`pf`/`fp` adjacency is rebuilt from the *current noisy*
   pharm coordinates on every forward (dynamics_gvp.py:176-177) — here as
-  dense masks inside jit (`ops.neighbors.build_dynamic_edges`) instead of
+  dense descriptors inside jit (`models.edges.build_edge_bundle`) instead of
   torch_cluster kernels;
 * `n_convs` hetero GVP convolutions over all 4 edge types
   (dynamics_gvp.py:62-75);
@@ -30,13 +30,10 @@ from typing import Dict, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pharmaforge_tpu.models.conv import (
-    EdgeGeometry,
-    GVPMultiEdgeConv,
-    build_edge_geometry,
-)
+from pharmaforge_tpu.models.conv import GVPMultiEdgeConv
+from pharmaforge_tpu.models.edges import EdgeData, build_edge_bundle
 from pharmaforge_tpu.models.gvp import GVP, GVPChain, TorchLinear
-from pharmaforge_tpu.ops.neighbors import NeighborList, build_dynamic_edges
+from pharmaforge_tpu.ops.neighbors import NeighborList
 
 Array = jnp.ndarray
 
@@ -129,8 +126,8 @@ class PharmRecDynamics(nn.Module):
                  t: Array,           # [B] float in [0, 1]
                  pp_nbrs: NeighborList,
                  deterministic: bool = True,
-                 pp_geo: EdgeGeometry = None) -> Tuple[Array, Array]:
-        """`pp_geo` optionally injects precomputed prot-prot edge geometry
+                 pp_edge: EdgeData = None) -> Tuple[Array, Array]:
+        """`pp_edge` optionally injects the precomputed prot-prot EdgeData
         (translation invariant, so the sampling chain computes it once for
         all T steps instead of once per step)."""
         cutoffs = dict(self.graph_cutoffs)
@@ -159,13 +156,12 @@ class PharmRecDynamics(nn.Module):
         }
         node_masks = {"pharm": pharm_mask, "prot": prot_mask}
 
-        # dynamic edges from the current noisy coordinates; geometry for all
-        # edge types is computed once per forward (x is constant across the
+        # dynamic edges (adjacency + geometry) from the current noisy
+        # coordinates, computed once per forward (x is constant across the
         # conv stack)
-        edges = build_dynamic_edges(pharm_x_t, pharm_mask, prot_x, prot_mask,
-                                    cutoffs, ff_k=self.ff_k, pf_k=self.pf_k)
-        edge_geo = build_edge_geometry(pharm_x_t, prot_x, pp_nbrs,
-                                       pp_geo=pp_geo)
+        bundle = build_edge_bundle(pharm_x_t, pharm_mask, prot_x, prot_mask,
+                                   cutoffs, ff_k=self.ff_k, pf_k=self.pf_k,
+                                   pp_nbrs=pp_nbrs, pp_edge=pp_edge)
 
         for i in range(self.n_convs):
             last = i == self.n_convs - 1
@@ -180,7 +176,7 @@ class PharmRecDynamics(nn.Module):
                 dropout=self.dropout,
                 compute_dtype=self.compute_dtype,
                 name=f"conv_layers_{i}",
-            )(node_feats, node_masks, edges, pp_nbrs, edge_geo,
+            )(node_feats, node_masks, bundle,
               deterministic=deterministic, update_ntypes=update_ntypes)
 
         eps_h, eps_x = NoisePredictionBlock(

@@ -1,0 +1,136 @@
+"""Per-edge-type data bundles for the dense hetero convolution.
+
+Unifies the two message-computation layouts behind one descriptor:
+
+* gathered form (`idx` set): each destination node sees M gathered source
+  rows — used for prot-prot (top-K radius list) and, in knn mode, for
+  prot->pharm (each pharm center attends to its pf_k nearest prot atoms,
+  reference dynamics_gvp.py:202-206). M is small and static.
+* full form (`idx` None): all-pairs mask over the source axis — used when
+  the source set is tiny (ff, fp) or when radius semantics genuinely
+  connect most pairs (pf in radius mode).
+
+The bundle also carries the edge geometry (unit direction, RBF), computed
+ONCE per denoiser forward — coordinates don't change across the conv stack —
+and, for prot-prot, once per *sampling chain* (translation invariant).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional
+
+import jax.numpy as jnp
+from jax import lax
+
+from pharmaforge_tpu.ops.geometry import norm_no_nan, rbf
+from pharmaforge_tpu.ops.neighbors import (
+    NeighborList,
+    gather_neighbor_coords,
+    knn_mask,
+    radius_mask,
+)
+
+Array = jnp.ndarray
+
+RBF_DMAX = 15.0
+RBF_DIM = 16
+_BIG = 1e30
+
+
+class EdgeData(NamedTuple):
+    """One edge type's adjacency + geometry.
+
+    mask:  [B, Nd, M] validity
+    idx:   [B, Nd, M] int32 gather indices into the src axis, or None when
+           M spans the full source set
+    x_dir: [B, Nd, M, 3] unit displacement src - dst
+    d_rbf: [B, Nd, M, RBF_DIM]
+    """
+
+    mask: Array
+    idx: Optional[Array]
+    x_dir: Array
+    d_rbf: Array
+
+
+def _pair_geometry(x_dst, x_src_pairs):
+    """x_dst [B,Nd,3] against per-dst src coords [B,Nd,M,3]."""
+    x_diff = x_src_pairs - x_dst[:, :, None, :]
+    dij = norm_no_nan(x_diff, keepdims=True) + 1e-8
+    return x_diff / dij, rbf(jnp.squeeze(dij, -1), d_max=RBF_DMAX,
+                             d_count=RBF_DIM)
+
+
+def full_edge_data(x_dst, x_src, mask) -> EdgeData:
+    x_dir, d_rbf = _pair_geometry(
+        x_dst, jnp.broadcast_to(x_src[:, None],
+                                (x_src.shape[0], x_dst.shape[1])
+                                + x_src.shape[1:]))
+    return EdgeData(mask=mask, idx=None, x_dir=x_dir, d_rbf=d_rbf)
+
+
+def gathered_edge_data(x_dst, x_src, nbrs: NeighborList) -> EdgeData:
+    x_g = gather_neighbor_coords(x_src, nbrs.idx)
+    x_dir, d_rbf = _pair_geometry(x_dst, x_g)
+    return EdgeData(mask=nbrs.mask, idx=nbrs.idx, x_dir=x_dir, d_rbf=d_rbf)
+
+
+def knn_neighbor_list(dst_x, dst_mask, src_x, src_mask, k: int) -> NeighborList:
+    """k-nearest valid srcs per dst as a gathered list (torch_cluster `knn`
+    semantics; fewer than k valid srcs -> masked slots)."""
+    from pharmaforge_tpu.ops.neighbors import pairwise_sqdist
+    d2 = pairwise_sqdist(dst_x, src_x)
+    valid = dst_mask[..., :, None] & src_mask[..., None, :]
+    d2 = jnp.where(valid, d2, _BIG)
+    k = min(k, d2.shape[-1])
+    neg_d, idx = lax.top_k(-d2, k)
+    return NeighborList(idx=idx.astype(jnp.int32), mask=(-neg_d) < _BIG)
+
+
+def scatter_transpose_mask(idx, mask, n_src: int) -> Array:
+    """[B, Nd, K] gather list -> dense [B, n_src, Nd] reverse-edge mask."""
+    onehot = jnp.zeros(idx.shape[:2] + (n_src,), bool)
+    onehot = jnp.put_along_axis(onehot, idx, mask, axis=-1, inplace=False)
+    return jnp.swapaxes(onehot, 1, 2)
+
+
+def build_edge_bundle(pharm_x, pharm_mask, prot_x, prot_mask, cutoffs,
+                      ff_k: int, pf_k: int, pp_nbrs: NeighborList,
+                      pp_edge: Optional[EdgeData] = None
+                      ) -> Dict[str, EdgeData]:
+    """All four edge types for one denoiser forward
+    (reference dynamics_gvp.py:187-227 rebuilt as dense descriptors).
+
+    `pp_edge` optionally injects the precomputed prot-prot EdgeData
+    (translation invariant across a sampling chain).
+    """
+    bundle: Dict[str, EdgeData] = {}
+
+    # ff: pharm->pharm, radius or knn, self excluded
+    if ff_k and ff_k > 0:
+        m = knn_mask(pharm_x, pharm_mask, pharm_x, pharm_mask, ff_k,
+                     exclude_self=True)
+    else:
+        m = radius_mask(pharm_x, pharm_mask, pharm_x, pharm_mask,
+                        cutoffs["ff"], exclude_self=True)
+    bundle["ff"] = full_edge_data(pharm_x, pharm_x, m)
+
+    # pf: prot->pharm; fp: exact reverse pairs
+    if pf_k and pf_k > 0:
+        nbrs = knn_neighbor_list(pharm_x, pharm_mask, prot_x, prot_mask,
+                                 pf_k)
+        bundle["pf"] = gathered_edge_data(pharm_x, prot_x, nbrs)
+        fp_mask = scatter_transpose_mask(nbrs.idx, nbrs.mask,
+                                         prot_x.shape[1])
+    else:
+        pf_mask = radius_mask(pharm_x, pharm_mask, prot_x, prot_mask,
+                              cutoffs["pf"])
+        bundle["pf"] = full_edge_data(pharm_x, prot_x, pf_mask)
+        fp_mask = jnp.swapaxes(pf_mask, 1, 2)
+    bundle["fp"] = full_edge_data(prot_x, pharm_x, fp_mask)
+
+    # pp: gathered top-K radius list
+    if pp_edge is None:
+        pp_edge = gathered_edge_data(prot_x, prot_x, pp_nbrs)
+    bundle["pp"] = pp_edge
+    return bundle
