@@ -5,12 +5,14 @@ TPU-native replacement for the reference `GVPMultiEdgeConv`
 DGL's ragged CSR message passing (`apply_edges` + `multi_update_all`), every
 edge type is computed over a static-shape pair tensor:
 
-* `ff` (pharm->pharm), `pf` (prot->pharm), `fp` (pharm->prot) use *full*
-  adjacency masks — the pharmacophore axis is tiny (<= ~8 centers), so
+* `ff` (pharm->pharm) and `fp` (pharm->prot) use *full* adjacency masks —
+  the pharmacophore source/destination axis is tiny (<= ~8 centers), so
   all-pairs materialization is far cheaper than gather/scatter;
-* `pp` (prot->prot) uses a fixed-width top-K nearest-neighbor list
-  (`ops.neighbors.NeighborList`) gathered with `take_along_axis`, since
-  the pocket can hold hundreds of atoms.
+* `pp` (prot->prot) and knn-mode `pf` (prot->pharm) use fixed-width
+  nearest-neighbor lists gathered with `take_along_axis`, since the pocket
+  can hold hundreds of atoms (radius-mode pf keeps the exact full mask).
+  The adjacency + geometry descriptors are built once per denoiser forward
+  in `models/edges.py`.
 
 Both paths run the same message GVP chain on `[..., M, ...]`-shaped edge
 tensors and reduce over the M axis under the edge validity mask. The message

@@ -55,15 +55,16 @@ def main():
                 n_update_gvps=2, n_noise_gvps=4, pf_k=5, pp_k_max=16)
 
     variants = [
-        ("base B=32 P=256 K=16", dict(), (32, 256)),
-        ("pp_k_max=32", dict(pp_k_max=32), (32, 256)),
-        ("bf16 chains", dict(compute_dtype="bfloat16"), (32, 256)),
-        ("bf16 + K=32", dict(compute_dtype="bfloat16", pp_k_max=32), (32, 256)),
-        ("pp cutoff off", dict(graph_cutoffs=(("pp", 0.0), ("pf", 8.0),
+        ("bf16 B=32 K=16", dict(compute_dtype="bfloat16"), (32, 256)),
+        ("bf16 B=48", dict(compute_dtype="bfloat16"), (48, 256)),
+        ("bf16 B=64", dict(compute_dtype="bfloat16"), (64, 256)),
+        ("bf16 K=12", dict(compute_dtype="bfloat16", pp_k_max=12), (32, 256)),
+        ("pp cutoff off", dict(compute_dtype="bfloat16",
+                               graph_cutoffs=(("pp", 0.0), ("pf", 8.0),
                                               ("fp", 8.0), ("ff", 9.0)),
                                pp_k_max=1), (32, 256)),
-        ("n_convs=1", dict(n_convs=1), (32, 256)),
-        ("B=128 bf16", dict(compute_dtype="bfloat16"), (128, 256)),
+        ("pf radius (full mask)", dict(compute_dtype="bfloat16", pf_k=0),
+         (32, 256)),
     ]
 
     results = {}
