@@ -14,7 +14,7 @@ pad to size buckets so only a handful of program shapes ever compile.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import flax.struct
 import numpy as np

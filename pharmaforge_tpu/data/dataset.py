@@ -23,7 +23,7 @@ from __future__ import annotations
 import gzip
 import pickle
 from pathlib import Path
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

@@ -26,7 +26,7 @@ normalization (gvp.py:499-517), and the residual + double-layernorm update
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple, Union
+from typing import Dict, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -20,11 +20,7 @@ import numpy as np
 
 from pharmaforge_tpu.analysis.pharm_builder import SampledPharmacophore
 from pharmaforge_tpu.constants import PH_IDX_TO_TYPE
-from pharmaforge_tpu.data.batch import (
-    DEFAULT_MAX_PHARM,
-    bucket_size,
-    tile_pocket,
-)
+from pharmaforge_tpu.data.batch import DEFAULT_MAX_PHARM, tile_pocket
 from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
 
 

@@ -24,10 +24,9 @@ from typing import Optional
 import jax
 import numpy as np
 import optax
-import yaml
 
 from pharmaforge_tpu.data.datamodule import CrossdockedDataModule
-from pharmaforge_tpu.models.diffusion import DiffusionConfig, PharmacophoreDiffusion
+from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
 from pharmaforge_tpu.models.size_dist import PharmSizeDistribution
 from pharmaforge_tpu.analysis.metrics import SampleAnalyzer
 from pharmaforge_tpu.parallel.mesh import (

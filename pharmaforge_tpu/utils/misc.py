@@ -9,7 +9,7 @@ is the genuinely host-side surface: type maps and file writers.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
