@@ -51,28 +51,31 @@ def _gather_neighbors(h_src: Array, v_src: Array, idx: Array,
                       compute_dtype: str = "float32") -> Tuple[Array, Array]:
     """Gather per-dst neighbor features. idx: [B, Nd, K] into the src axis.
 
-    In bfloat16 compute mode the gather runs as a one-hot MATMUL on the MXU:
-    profiling shows TPU row-gathers (`take_along_axis` -> HLO gather) run
-    ~30x below HBM bandwidth and dominate the sampling step, while
-    onehot(idx) @ table is exact selection (single nonzero per row) at
-    matmul speed. fp32 mode keeps take_along_axis: a default-precision
-    matmul would round fp32 features to bf16 on this hardware.
+    The gather runs as a one-hot MATMUL on the MXU: profiling shows TPU
+    row-gathers (`take_along_axis` -> HLO gather) run ~30x below HBM
+    bandwidth and dominated the sampling step, while onehot(idx) @ table is
+    exact selection (a single nonzero per output row) at matmul speed. In
+    fp32 mode the einsum forces Precision.HIGHEST: the bf16x-pass f32
+    decomposition reconstructs 1.0 * value exactly, so selection stays
+    bit-exact (covered by a test against take_along_axis).
     """
+    b, p, s_dim = h_src.shape
+    nd, k = idx.shape[1], idx.shape[2]
+    v_dim = v_src.shape[-2]
+    table = jnp.concatenate(
+        [h_src, v_src.reshape(b, p, v_dim * 3)], axis=-1)
     if compute_dtype == "bfloat16":
-        b, p, s_dim = h_src.shape
-        nd, k = idx.shape[1], idx.shape[2]
-        v_dim = v_src.shape[-2]
-        table = jnp.concatenate(
-            [h_src, v_src.reshape(b, p, v_dim * 3)], axis=-1)
         onehot = jax.nn.one_hot(idx, p, dtype=jnp.bfloat16)   # [B,Nd,K,P]
         g = jnp.einsum("bnkp,bpd->bnkd", onehot,
                        table.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
-        h_g = g[..., :s_dim]
-        v_g = g[..., s_dim:].reshape(b, nd, k, v_dim, 3)
-        return h_g, v_g
-    h_g = jnp.take_along_axis(h_src[:, None], idx[..., None], axis=2)
-    v_g = jnp.take_along_axis(v_src[:, None], idx[..., None, None], axis=2)
+    else:
+        onehot = jax.nn.one_hot(idx, p, dtype=table.dtype)
+        g = jnp.einsum("bnkp,bpd->bnkd", onehot, table,
+                       precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
+    h_g = g[..., :s_dim]
+    v_g = g[..., s_dim:].reshape(b, nd, k, v_dim, 3)
     return h_g, v_g
 
 
