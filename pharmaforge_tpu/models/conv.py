@@ -97,6 +97,101 @@ def _aggregate(s_msg: Array, v_msg: Array, mask: Array,
     return s_sum, v_sum, count
 
 
+class GVPEdgeConv(nn.Module):
+    """GVP graph convolution on a single edge type.
+
+    Dense counterpart of the reference's `GVPEdgeConv` (gvp.py:170-341,
+    defined there but never instantiated): message GVP chain over one edge
+    type + aggregation + residual update on the destination nodes, with the
+    optional `use_dst_feats` variant that concatenates destination features
+    into the messages (gvp.py:211-213, 323-335).
+    """
+
+    scalar_size: int = 128
+    vector_size: int = 16
+    n_message_gvps: int = 1
+    n_update_gvps: int = 1
+    use_dst_feats: bool = False
+    rbf_dim: int = 16
+    message_norm: Union[float, int, str] = 10
+    dropout: float = 0.0
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self,
+                 src: NodeData, dst: NodeData, dst_mask: Array,
+                 edge: "EdgeData",
+                 deterministic: bool = True) -> Tuple[Array, Array]:
+        """Returns the updated destination (scalars, vectors)."""
+        dtype = None if self.compute_dtype == "float32" else self.compute_dtype
+        h_src, _, v_src = src
+        h_dst, _, v_dst = dst
+
+        specs = []
+        for i in range(self.n_message_gvps):
+            c_in = self.vector_size + 1 if i == 0 else self.vector_size
+            s_in = self.scalar_size + self.rbf_dim if i == 0 \
+                else self.scalar_size
+            if i == 0 and self.use_dst_feats:
+                c_in += self.vector_size
+                s_in += self.scalar_size
+            specs.append(dict(
+                dim_vectors_in=c_in, dim_vectors_out=self.vector_size,
+                dim_feats_in=s_in, dim_feats_out=self.scalar_size,
+                feats_activation="silu", vectors_activation="sigmoid"))
+        chain = GVPChain(tuple(specs), dtype=dtype, name="edge_message")
+
+        if edge.idx is not None:
+            h_g, v_g = _gather_neighbors(h_src, v_src, edge.idx,
+                                         self.compute_dtype)
+        else:
+            nd, ns = edge.mask.shape[1], edge.mask.shape[2]
+            h_g = jnp.broadcast_to(h_src[:, None],
+                                   (h_src.shape[0], nd, ns, h_src.shape[-1]))
+            v_g = jnp.broadcast_to(
+                v_src[:, None], (v_src.shape[0], nd, ns,
+                                 v_src.shape[-2], 3))
+
+        vec_in = jnp.concatenate([edge.x_dir[..., None, :], v_g], axis=-2)
+        sca_in = jnp.concatenate([h_g, edge.d_rbf], axis=-1)
+        if self.use_dst_feats:
+            m = edge.mask.shape[-1]
+            vec_in = jnp.concatenate(
+                [vec_in, jnp.broadcast_to(v_dst[:, :, None],
+                                          v_g.shape)], axis=-2)
+            sca_in = jnp.concatenate(
+                [sca_in, jnp.broadcast_to(h_dst[:, :, None], h_g.shape)],
+                axis=-1)
+
+        s_msg, v_msg = chain((sca_in, vec_in))
+        use_mean = self.message_norm == "mean"
+        nv = 1.0 if use_mean else float(self.message_norm)
+        s_agg, v_agg, _ = _aggregate(s_msg.astype(jnp.float32),
+                                     v_msg.astype(jnp.float32),
+                                     edge.mask, mean=use_mean)
+        s_agg = s_agg / nv
+        v_agg = v_agg / nv
+
+        dropout = GVPDropout(self.dropout, name="dropout")
+        s_agg, v_agg = dropout(s_agg, v_agg, deterministic)
+        h = h_dst + s_agg
+        v = v_dst + v_agg
+        h, v = GVPLayerNorm(self.scalar_size, name="message_layer_norm")(h, v)
+
+        upd_specs = tuple(dict(
+            dim_vectors_in=self.vector_size, dim_vectors_out=self.vector_size,
+            dim_feats_in=self.scalar_size, dim_feats_out=self.scalar_size,
+            feats_activation="silu", vectors_activation="sigmoid")
+            for _ in range(self.n_update_gvps))
+        s_res, v_res = GVPChain(upd_specs, name="node_update")((h, v))
+        s_res, v_res = dropout(s_res, v_res, deterministic)
+        h = h + s_res
+        v = v + v_res
+        h, v = GVPLayerNorm(self.scalar_size, name="update_layer_norm")(h, v)
+        mask = dst_mask.astype(h.dtype)
+        return h * mask[..., None], v * mask[..., None, None]
+
+
 class GVPMultiEdgeConv(nn.Module):
     """One hetero GVP convolution over the 4 canonical edge types."""
 

@@ -138,6 +138,45 @@ def test_sampling_noise_injection_reproducible(rng):
                   - np.asarray(out1["pharm_x"])).max() > 1e-4
 
 
+def test_sampling_chain_se3_equivariance(rng):
+    """The FULL reverse chain is SE(3)-equivariant: rotating+translating the
+    pocket (and rotating the injected noise) rotates+translates the sampled
+    pharmacophores. Holds end-to-end through COM removals, posterior updates
+    and the final frame restoration."""
+    from tests.test_gvp import random_rotation
+
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20,))
+    cfg = tiny_config()
+    model = PharmacophoreDiffusion(cfg)
+    params = model.init_params(jax.random.key(0), batch)
+    b, f = batch.pharm_mask.shape
+    t = cfg.n_timesteps
+    noise = {
+        "x_T": rng.normal(size=(b, f, 3)).astype(np.float32),
+        "h_T": rng.normal(size=(b, f, 6)).astype(np.float32),
+        "pos": rng.normal(size=(t, b, f, 3)).astype(np.float32),
+        "feat": rng.normal(size=(t, b, f, 6)).astype(np.float32),
+    }
+    out = model.sample_given_receptor(params, batch, jax.random.key(1),
+                                      noise=noise)
+
+    rot = random_rotation(rng)
+    shift = rng.normal(scale=8, size=(1, 1, 3)).astype(np.float32)
+    batch_r = batch.replace(
+        prot_x=(batch.prot_x @ rot.T + shift) * batch.prot_mask[..., None])
+    noise_r = dict(noise, x_T=noise["x_T"] @ rot.T,
+                   pos=noise["pos"] @ rot.T)
+    out_r = model.sample_given_receptor(params, batch_r, jax.random.key(1),
+                                        noise=noise_r)
+
+    m = batch.pharm_mask
+    want_x = (np.asarray(out["pharm_x"]) @ rot.T + shift) * m[..., None]
+    np.testing.assert_allclose(np.asarray(out_r["pharm_x"]) * m[..., None],
+                               want_x, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_r["pharm_h"]),
+                               np.asarray(out["pharm_h"]), atol=5e-3)
+
+
 def test_config_from_yaml_dict():
     config = {
         "dataset": {"ph_type_map": list("abcdef"),
