@@ -2,7 +2,6 @@ from pharmaforge_tpu.ops.geometry import (
     norm_no_nan,
     rbf,
     masked_mean,
-    masked_softmax_count,
     remove_masked_com,
 )
 from pharmaforge_tpu.ops.neighbors import (

@@ -53,12 +53,6 @@ def masked_mean(x, mask, axis, keepdims=False):
     return total / jnp.maximum(count, 1.0)
 
 
-def masked_softmax_count(mask, axis, keepdims=False):
-    """Number of valid entries along axis (float), clamped to >= 1."""
-    count = jnp.sum(mask.astype(jnp.float32), axis=axis, keepdims=keepdims)
-    return jnp.maximum(count, 1.0)
-
-
 def masked_com(x, mask):
     """Per-sample center of mass of a masked point set.
 
