@@ -80,61 +80,92 @@ def _gvp_edge_chain(sca: Array, vec_xyz: Tuple[Array, Array, Array],
     return sca, vec_xyz
 
 
-def _gvp_edge_chain_packed(sca: Array, vec: Array,
+def _gvp_edge_chain_packed(sca: Array, d_rbf: Array, u3: Array, vec: Array,
                            weights: Sequence[Dict[str, Any]],
                            dtype) -> Tuple[Array, Array]:
-    """Kernel-optimized chain: the three vector-component planes ride one
-    [E, 3*C] tensor (component-major) and each Wh/Wu contraction is a single
-    dot against a pre-block-diagonalized weight (3 identical blocks; built
-    outside the kernel by `_blockdiag_weights`). One dot replaces three
-    small ones — fewer MXU issues per program, same math.
+    """Kernel-optimized chain with no lane-hostile concats.
 
-    Intermediates are STORED in the compute dtype (VMEM stack is the scarce
-    resource); matmuls still accumulate fp32, and the vector-norm sum of
+    The three vector-component planes ride one [E, 3*C] tensor
+    (component-major); each Wh/Wu contraction is a single dot against a
+    pre-block-diagonalized weight, and every `concat(a, b) @ W` becomes
+    `a @ W_top + b @ W_bot` via the row splits prepared by
+    `_blockdiag_weights` — summed aligned dots instead of odd-offset lane
+    relayouts. Intermediates are stored in the compute dtype (VMEM stack is
+    the scarce resource); matmuls accumulate fp32, the vector-norm sum of
     squares runs fp32.
+
+    Inputs: sca [E, S] source scalars, d_rbf [E, RBF], u3 [E, 3] unit
+    displacement components, vec [E, 3V] component-major source vectors.
     """
-    for w in weights:
-        wh_bd = w["Wh_bd"]           # [3C, 3H]
+    for j, w in enumerate(weights):
         wu_bd = w["Wu_bd"]           # [3H, 3U]
-        dim_h = wh_bd.shape[1] // 3
+        dim_h = wu_bd.shape[0] // 3
         v_out = wu_bd.shape[1] // 3
-        vh = _dot(vec, wh_bd, dtype).astype(dtype)      # [E, 3H]
+        vh = _dot(vec, w["Wh_bd"], dtype)
+        if j == 0:
+            vh = vh + _dot(u3, w["Wh_dir_bd"], dtype)
+        vh = vh.astype(dtype)                           # [E, 3H]
         vu = _dot(vh, wu_bd, dtype).astype(dtype)       # [E, 3U]
         vh32 = vh.astype(jnp.float32)
         vh_x, vh_y, vh_z = (vh32[:, :dim_h], vh32[:, dim_h:2 * dim_h],
                             vh32[:, 2 * dim_h:])
         sh = jnp.sqrt(jnp.maximum(
-            vh_x * vh_x + vh_y * vh_y + vh_z * vh_z, 1e-8))
-        s = jnp.concatenate([sca.astype(dtype), sh.astype(dtype)], axis=-1)
-        feats = _dot(s, w["to_feats_out"]["kernel"], dtype)
-        feats = jax.nn.silu(feats + w["to_feats_out"]["bias"]
-                            .astype(jnp.float32)).astype(dtype)
-        gates = _dot(feats, w["scalar_to_vector_gates"]["kernel"], dtype)
-        gates = jax.nn.sigmoid(gates + w["scalar_to_vector_gates"]["bias"]
-                               .astype(jnp.float32)).astype(dtype)
-        vec = jnp.concatenate([gates * vu[:, :v_out],
-                               gates * vu[:, v_out:2 * v_out],
-                               gates * vu[:, 2 * v_out:]], axis=-1)
+            vh_x * vh_x + vh_y * vh_y + vh_z * vh_z, 1e-8)).astype(dtype)
+        feats = _dot(sca, w["W1_h"], dtype) + _dot(sh, w["W1_sh"], dtype)
+        if j == 0:
+            feats = feats + _dot(d_rbf, w["W1_rbf"], dtype)
+        feats = jax.nn.silu(feats + w["b1"].astype(jnp.float32)).astype(dtype)
+        gates = _dot(feats, w["Wg"], dtype)
+        gates = jax.nn.sigmoid(gates + w["bg"].astype(jnp.float32))
+        gates3 = jnp.concatenate([gates, gates, gates],
+                                 axis=-1).astype(dtype)  # aligned blocks
+        vec = gates3 * vu
         sca = feats
     return sca, vec
 
 
 def _blockdiag_weights(weights: Sequence[Dict[str, Any]]):
-    """Host-side: 3x block-diagonal Wh/Wu for the packed kernel chain."""
+    """Host-side weight preprocessing for the packed kernel chain.
+
+    * Wh/Wu become 3x block-diagonal (one dot per contraction instead of
+      three per-component dots).
+    * Row-block SPLITS replace lane-hostile concats inside the kernel: the
+      first GVP's Wh splits into its direction row (matched against the
+      [E,3] unit-displacement columns) and its vector-channel rows, and
+      to_feats_out splits into (input rows | sh rows) so
+      `concat(x, sh) @ W == x @ W_top + sh @ W_bot`.
+    """
     out = []
-    for w in weights:
+    for j, w in enumerate(weights):
         wh = jnp.asarray(w["Wh"])
         wu = jnp.asarray(w["Wu"])
-        out.append({
-            "Wh_bd": jax.scipy.linalg.block_diag(wh, wh, wh),
+        k1 = jnp.asarray(w["to_feats_out"]["kernel"])
+        dim_h = wh.shape[1]
+        s_in = k1.shape[0] - dim_h
+        entry = {
             "Wu_bd": jax.scipy.linalg.block_diag(wu, wu, wu),
-            "to_feats_out": {
-                "kernel": jnp.asarray(w["to_feats_out"]["kernel"]),
-                "bias": jnp.asarray(w["to_feats_out"]["bias"])},
-            "scalar_to_vector_gates": {
-                "kernel": jnp.asarray(w["scalar_to_vector_gates"]["kernel"]),
-                "bias": jnp.asarray(w["scalar_to_vector_gates"]["bias"])},
-        })
+            "W1_sh": k1[s_in:],                                # [H, S_out]
+            "b1": jnp.asarray(w["to_feats_out"]["bias"]),
+            "Wg": jnp.asarray(w["scalar_to_vector_gates"]["kernel"]),
+            "bg": jnp.asarray(w["scalar_to_vector_gates"]["bias"]),
+        }
+        if j == 0:
+            # first GVP: vector input is [x_dir | v_src] per component and
+            # scalar input is [h_src | rbf] — split every concat partner out
+            wh_dir = wh[:1]                                    # [1, H]
+            wh_rest = wh[1:]                                   # [V, H]
+            entry["Wh_dir_bd"] = jax.scipy.linalg.block_diag(
+                wh_dir, wh_dir, wh_dir)                        # [3, 3H]
+            entry["Wh_bd"] = jax.scipy.linalg.block_diag(
+                wh_rest, wh_rest, wh_rest)                     # [3V, 3H]
+            entry["W1_h"] = k1[:s_in - RBF_DIM]                # [S, S_out]
+            entry["W1_rbf"] = k1[s_in - RBF_DIM:s_in]          # [RBF, S_out]
+        else:
+            entry["Wh_dir_bd"] = None
+            entry["Wh_bd"] = jax.scipy.linalg.block_diag(wh, wh, wh)
+            entry["W1_h"] = k1[:s_in]
+            entry["W1_rbf"] = None
+        out.append(entry)
     return out
 
 
@@ -230,23 +261,40 @@ def neighbor_messages_reference(h_src: Array, v_src: Array, x_src: Array,
 # fused Pallas kernel
 # --------------------------------------------------------------------------
 
+_W_KEYS_FIRST = ("Wh_bd", "Wh_dir_bd", "Wu_bd", "W1_h", "W1_rbf", "W1_sh",
+                 "b1", "Wg", "bg")
+_W_KEYS_REST = ("Wh_bd", "Wu_bd", "W1_h", "W1_sh", "b1", "Wg", "bg")
+
+
+def _flatten_bd_weights(bd):
+    flat = []
+    for j, w in enumerate(bd):
+        for key in (_W_KEYS_FIRST if j == 0 else _W_KEYS_REST):
+            flat.append(w[key])
+    return flat
+
+
+def _unflatten_bd_weights(vals, n_gvps):
+    out, i = [], 0
+    for j in range(n_gvps):
+        keys = _W_KEYS_FIRST if j == 0 else _W_KEYS_REST
+        w = {k: vals[i + n] for n, k in enumerate(keys)}
+        if j > 0:
+            w["Wh_dir_bd"] = None
+            w["W1_rbf"] = None
+        out.append(w)
+        i += len(keys)
+    return out
+
+
 def _kernel(tbl_ref, idx_ref, mask_ref,
-            *rest, n_gvps: int, tile_p: int, k: int, p: int,
+            *rest, n_gvps: int, n_w: int, tile_p: int, k: int, p: int,
             s_dim: int, v_dim: int, compute_dtype):
     from jax.experimental import pallas as pl
 
-    w_refs = rest[:n_gvps * 6]
-    s_out, v_out = rest[n_gvps * 6:]
-    w_vals = [r[...] for r in w_refs]
-    weights = []
-    for j in range(n_gvps):
-        b6 = j * 6
-        weights.append({
-            "Wh_bd": w_vals[b6], "Wu_bd": w_vals[b6 + 1],
-            "to_feats_out": {"kernel": w_vals[b6 + 2], "bias": w_vals[b6 + 3]},
-            "scalar_to_vector_gates": {"kernel": w_vals[b6 + 4],
-                                       "bias": w_vals[b6 + 5]},
-        })
+    w_refs = rest[:n_w]
+    s_out, v_out = rest[n_w:]
+    weights = _unflatten_bd_weights([r[...] for r in w_refs], n_gvps)
 
     # merged node table: [P, S | x y z pad | vx(V) vy(V) vz(V)]
     table = tbl_ref[0]
@@ -276,15 +324,11 @@ def _kernel(tbl_ref, idx_ref, mask_ref,
     diff = x_g.astype(jnp.float32) - x_dst[:, :3]
     (ux, uy, uz), d_rbf = _edge_geometry_xyz(diff[:, 0], diff[:, 1],
                                              diff[:, 2])
+    u3 = jnp.concatenate([ux[:, None], uy[:, None], uz[:, None]], axis=-1)
 
-    sca = jnp.concatenate([h_g.astype(jnp.float32), d_rbf], axis=-1)
-    # packed component-major vectors: [E, 3*(V+1)]
-    vec = jnp.concatenate(
-        [ux[:, None], v_g[:, :v_dim],
-         uy[:, None], v_g[:, v_dim:2 * v_dim],
-         uz[:, None], v_g[:, 2 * v_dim:]], axis=-1)
-
-    sca, vec = _gvp_edge_chain_packed(sca, vec, weights, compute_dtype)
+    sca, vec = _gvp_edge_chain_packed(
+        h_g.astype(jnp.float32), d_rbf, u3, v_g.astype(jnp.float32),
+        weights, compute_dtype)
 
     # mask + reduce in [TILE_P, K, D] layout (lane dim D stays intact)
     m3 = mask[:, :, None]
@@ -325,16 +369,11 @@ def fused_neighbor_messages(h_src: Array, v_src: Array, x_src: Array,
         pl.BlockSpec((1, tile_p, k), lambda bi, ti: (bi, ti, 0)),
     ]
     bd = _blockdiag_weights(weights)
-    flat_weights = []
-    for w in bd:
-        for arr in (w["Wh_bd"], w["Wu_bd"], w["to_feats_out"]["kernel"],
-                    w["to_feats_out"]["bias"],
-                    w["scalar_to_vector_gates"]["kernel"],
-                    w["scalar_to_vector_gates"]["bias"]):
-            flat_weights.append(arr)
-            nd = arr.ndim
-            in_specs.append(pl.BlockSpec(
-                arr.shape, (lambda *_args, _nd=nd: (0,) * _nd)))
+    flat_weights = _flatten_bd_weights(bd)
+    for arr in flat_weights:
+        nd = arr.ndim
+        in_specs.append(pl.BlockSpec(
+            arr.shape, (lambda *_args, _nd=nd: (0,) * _nd)))
 
     out_specs = [
         pl.BlockSpec((1, tile_p, s_dim), lambda bi, ti: (bi, ti, 0)),
@@ -344,8 +383,8 @@ def fused_neighbor_messages(h_src: Array, v_src: Array, x_src: Array,
                  jax.ShapeDtypeStruct((b, p, 3 * v_dim), jnp.float32)]
 
     kernel = functools.partial(
-        _kernel, n_gvps=n_gvps, tile_p=tile_p, k=k, p=p, s_dim=s_dim,
-        v_dim=v_dim, compute_dtype=compute_dtype)
+        _kernel, n_gvps=n_gvps, n_w=len(flat_weights), tile_p=tile_p, k=k,
+        p=p, s_dim=s_dim, v_dim=v_dim, compute_dtype=compute_dtype)
 
     s_sum, v_packed = pl.pallas_call(
         kernel,
