@@ -89,9 +89,21 @@ def main():
 
     sampler = jax.jit(lambda p, b, k: model.sample_given_receptor(p, b, k))
 
-    # compile + warmup
-    out = sampler(params, batch, jax.random.key(1))
-    jax.block_until_ready(out["pharm_x"])
+    # compile + warmup; retry transient compile-service failures (the
+    # tunnel here can drop a compile response mid-read)
+    for attempt in range(3):
+        try:
+            out = sampler(params, batch, jax.random.key(1))
+            jax.block_until_ready(out["pharm_x"])
+            break
+        except Exception as e:
+            if attempt == 2 or not ("INTERNAL" in str(e)
+                                    or "remote_compile" in str(e)):
+                raise
+            import sys
+            print(f"transient compile failure ({e}); retrying",
+                  file=sys.stderr)
+            time.sleep(20)
 
     n_batches = -(-args.samples_per_pocket // args.max_batch_size)
 
