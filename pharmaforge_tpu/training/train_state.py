@@ -30,6 +30,11 @@ class TrainState:
 
 
 def _set_lr(opt_state, lr):
+    # With gradient accumulation the optimizer is optax.MultiSteps and the
+    # injected-hyperparams state lives one level down, in inner_opt_state.
+    if hasattr(opt_state, "inner_opt_state"):
+        inner = _set_lr(opt_state.inner_opt_state, lr)
+        return opt_state._replace(inner_opt_state=inner)
     hp = dict(opt_state.hyperparams)
     hp["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state._replace(hyperparams=hp)

@@ -52,6 +52,56 @@ def test_train_step_reduces_loss(rng):
     assert int(state.step) == 30
 
 
+def test_train_step_with_grad_accumulation(rng):
+    """accumulate_grad_batches>1 wraps the optimizer in optax.MultiSteps;
+    the dynamic-LR injection must traverse MultiStepsState (VERDICT r1 #4)."""
+    import optax
+
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), batch)
+    optimizer = optax.MultiSteps(make_optimizer(2e-3), every_k_schedule=2)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=np.int32(0))
+    train_step = make_train_step(model, optimizer, donate=False)
+
+    p0 = jax.tree_util.tree_leaves(params)[0]
+    # first micro-step only accumulates: params unchanged
+    state, aux = train_step(state, batch, jax.random.key(7), 2e-3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(p0))
+    # second micro-step applies the update
+    state, aux = train_step(state, batch, jax.random.key(7), 2e-3)
+    assert not np.array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+        np.asarray(p0))
+
+    losses = [float(aux["train total loss"])]
+    for _ in range(28):
+        state, aux = train_step(state, batch, jax.random.key(7), 2e-3)
+        losses.append(float(aux["train total loss"]))
+    assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_set_lr_traverses_multisteps(rng):
+    """The injected learning rate must actually reach the inner Adam chain
+    when wrapped in MultiSteps: an LR of 0 must freeze the params."""
+    import optax
+
+    batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), batch)
+    optimizer = optax.MultiSteps(make_optimizer(2e-3), every_k_schedule=1)
+    state = TrainState(params=params, opt_state=optimizer.init(params),
+                       step=np.int32(0))
+    train_step = make_train_step(model, optimizer, donate=False)
+    p0 = np.asarray(jax.tree_util.tree_leaves(params)[0])
+    state, _ = train_step(state, batch, jax.random.key(7), 0.0)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]), p0)
+
+
 def test_eval_step_deterministic(rng):
     batch = make_complex_batch(rng, b=2, p=24, p_valid=(20, 16))
     model = PharmacophoreDiffusion(tiny_config(dropout=0.3))
