@@ -25,20 +25,25 @@ class CrossdockedDataModule:
         self.batch_size = batch_size
         self.num_workers = num_workers
 
-        if len(validation_splits) == 0:
+        # the processed dataset ships as three split directories; validation
+        # holds out a strict, non-empty subset and the rest trains
+        held_out = set(validation_splits)
+        all_splits = {0, 1, 2}
+        if not held_out:
             raise NotImplementedError(
-                "training without a validation split has not yet been implemented")
-        if len(validation_splits) >= 3:
+                "a validation hold-out is required: pick at least one of "
+                "splits 0/1/2")
+        if len(held_out) >= len(all_splits):
             raise ValueError(
-                "validation split indices must be a subset of [0, 1, 2]")
-        for split_idx in validation_splits:
-            if split_idx not in [0, 1, 2]:
-                raise ValueError("validation split index must be 0, 1, or 2")
+                "cannot hold out every split for validation; leave at least "
+                "one to train on")
+        if not held_out <= all_splits:
+            raise ValueError(
+                f"validation_splits {sorted(held_out)} outside the available "
+                f"splits {sorted(all_splits)}")
 
-        split_idxs = [0, 1, 2]
-        self.train_split_idxs = [i for i in split_idxs
-                                 if i not in validation_splits]
-        self.val_split_idxs = [i for i in split_idxs if i in validation_splits]
+        self.train_split_idxs = sorted(all_splits - held_out)
+        self.val_split_idxs = sorted(held_out)
 
         self.train_dataset = None
         self.val_dataset = None

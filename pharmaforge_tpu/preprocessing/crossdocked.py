@@ -58,90 +58,117 @@ def run_pharmit(rec_path: str, lig_path: str, tmp_dir: str) -> Tuple[np.ndarray,
     return coords, kinds
 
 
-def getfeatures(reclig: Tuple[str, str], crossdocked_data_dir: Path,
-                pocket_cutoff: float = 8):
-    """Extract all features for one (receptor, ligand) pair
-    (reference process_crossdocked.py:39-171). Returns the same 5-tuple
-    layout with None sentinels on failure."""
-    from Bio.PDB import PDBParser
-    from Bio.PDB.Polypeptide import is_aa
+def resolve_pair_paths(rec: str, glig: str) -> Tuple[str, str, int]:
+    """Map the .gninatypes names a types-file row uses onto the on-disk
+    receptor PDB / gzipped multi-conformer SDF, plus the conformer index
+    encoded in the ligand name's trailing _<n>."""
+    rec_pdb = rec.replace("_0.gninatypes", ".pdb")
+    m = re.search(r"(\S+)_(\d+)\.gninatypes", glig)
+    if m is None:
+        raise ValueError(f"unrecognized ligand entry {glig!r}")
+    return rec_pdb, m.group(1) + ".sdf.gz", int(m.group(2))
+
+
+def extract_conformer(lig_gz_path: str, conformer: int, out_dir: str) -> str:
+    """Slice conformer #n out of a gzipped multi-record SDF as raw text
+    (no chemical parsing) and write it as a standalone .sdf."""
+    records = gzip.open(lig_gz_path).read().split(b"$$$$\n")
+    out_path = os.path.join(out_dir, "lig.sdf")
+    with open(out_path, "wb") as out:
+        out.write(records[conformer] + b"$$$$\n")
+    return out_path
+
+
+def load_ligand(lig_path: str):
+    """First molecule of a (possibly gzipped) SDF, unsanitized, plus its
+    conformer coordinates."""
     from rdkit.Chem import AllChem as Chem
+
+    if lig_path.endswith(".gz"):
+        with gzip.open(lig_path) as f:
+            mol = next(Chem.ForwardSDMolSupplier(f, sanitize=False))
+    else:
+        mol = next(Chem.ForwardSDMolSupplier(lig_path, sanitize=False))
+    return mol, mol.GetConformer().GetPositions()
+
+
+def receptor_sites_near_ligand(rec_path: str, lig_coords: np.ndarray,
+                               cutoff: float) -> Tuple[np.ndarray, np.ndarray]:
+    """SMARTS-derived receptor pharmacophore sites within `cutoff` of any
+    ligand atom, as (coords [M,3], type indices [M])."""
     from scipy.spatial.distance import cdist
 
+    site_coords, site_kinds = [np.zeros((0, 3))], [np.zeros((0,), dtype=int)]
+    for feature, coords in get_mol_pharm(rec_path).items():
+        coords = np.asarray(coords).reshape(-1, 3)
+        near = (cdist(coords, lig_coords) <= cutoff).any(axis=1)
+        site_coords.append(coords[near])
+        site_kinds.append(np.full(int(near.sum()), PH_TYPE_TO_IDX[feature],
+                                  dtype=int))
+    return np.concatenate(site_coords), np.concatenate(site_kinds)
+
+
+def pocket_heavy_atoms(pdb_struct, lig_coords: np.ndarray, cutoff: float):
+    """Heavy atoms of standard residues with any atom within `cutoff` of the
+    ligand: (coords, element symbols, atom names, residue ids)."""
+    from Bio.PDB.Polypeptide import is_aa
+    from scipy.spatial.distance import cdist
+
+    coords, elements, names, res_ids = [], [], [], []
+    for residue in pdb_struct[0].get_residues():
+        if not is_aa(residue.get_resname(), standard=True):
+            continue
+        atoms = list(residue.get_atoms())
+        res_coords = np.array([a.get_coord() for a in atoms])
+        if cdist(lig_coords, res_coords).min() >= cutoff:
+            continue
+        for atom in atoms:
+            if atom.element == "H":
+                continue
+            coords.append(atom.get_coord())
+            elements.append(element_fixer(atom.element))
+            names.append(atom.name)
+            res_ids.append(residue.id[1])
+    return (np.asarray(coords), np.asarray(elements), np.asarray(names),
+            np.asarray(res_ids))
+
+
+def getfeatures(reclig: Tuple[str, str], crossdocked_data_dir: Path,
+                pocket_cutoff: float = 8):
+    """Extract all features for one (receptor, ligand) pair. Capability
+    parity with reference process_crossdocked.py:39-171; returns the same
+    5-tuple layout with None sentinels on failure."""
+    from Bio.PDB import PDBParser
+
     rec, glig = reclig
-    rec = rec.replace("_0.gninatypes", ".pdb")
-    m = re.search(r"(\S+)_(\d+)\.gninatypes", glig)
-    prefix = m.group(1)
-    num = int(m.group(2))
-    lig = prefix + ".sdf.gz"
+    try:
+        rec_rel, lig_rel, conformer = resolve_pair_paths(rec, glig)
+        rec = rec_rel
+        rec_path = str(crossdocked_data_dir / rec_rel)
+        lig_path = str(crossdocked_data_dir / lig_rel)
+        for path in (rec_path, lig_path):
+            if not os.path.exists(path):
+                print(f"missing input file: {path}")
 
-    rec_path = str(crossdocked_data_dir / rec)
-    lig_path = str(crossdocked_data_dir / lig)
-    if not os.path.exists(rec_path):
-        print(rec_path)
-    if not os.path.exists(lig_path):
-        print(lig_path)
+        with tempfile.TemporaryDirectory() as tmp:
+            if conformer != 0:
+                lig_path = extract_conformer(lig_path, conformer, tmp)
+            feature_coords, feature_kind = run_pharmit(rec_path, lig_path,
+                                                       tmp)
+            ligand, lig_coords = load_ligand(lig_path)
 
-    with tempfile.TemporaryDirectory() as tmp:
-        try:
-            if num != 0:
-                # extract the num-th conformer without chemical parsing
-                sdf = gzip.open(lig_path).read().split(b"$$$$\n")[num] + b"$$$$\n"
-                lig_path = os.path.join(tmp, "lig.sdf")
-                with open(lig_path, "wb") as out:
-                    out.write(sdf)
+        site_coords, site_kinds = receptor_sites_near_ligand(
+            rec_path, lig_coords, pocket_cutoff)
+        pdb_struct = PDBParser(QUIET=True).get_structure("", rec_path)
+        pocket_coords, pocket_elements, pocket_anames, pocket_rid = \
+            pocket_heavy_atoms(pdb_struct, lig_coords, pocket_cutoff)
 
-            feature_coords, feature_kind = run_pharmit(rec_path, lig_path, tmp)
-
-            pdb_struct = PDBParser(QUIET=True).get_structure("", rec_path)
-            if lig_path.endswith(".gz"):
-                with gzip.open(lig_path) as f:
-                    ligand = next(Chem.ForwardSDMolSupplier(f, sanitize=False))
-            else:
-                ligand = next(Chem.ForwardSDMolSupplier(lig_path,
-                                                        sanitize=False))
-            lig_coords = ligand.GetConformer().GetPositions()
-
-            # receptor pharmacophore sites within pocket_cutoff of the ligand
-            pocket_feat_coords, pocket_feat_kind = [], []
-            rec_pharm = get_mol_pharm(rec_path)
-            for feature, coords in rec_pharm.items():
-                coords = np.array(coords)
-                distances = cdist(coords, lig_coords)
-                mask = np.any(distances <= pocket_cutoff, axis=1)
-                coords = coords[mask]
-                pocket_feat_coords.append(coords)
-                pocket_feat_kind.append(
-                    np.ones(coords.shape[0], dtype=int) * PH_TYPE_TO_IDX[feature])
-
-            # pocket residues within pocket_cutoff of the ligand
-            pocket_residues = []
-            for residue in pdb_struct[0].get_residues():
-                res_coords = np.array([a.get_coord()
-                                       for a in residue.get_atoms()])
-                if not is_aa(residue.get_resname(), standard=True):
-                    continue
-                if cdist(lig_coords, res_coords).min() < pocket_cutoff:
-                    pocket_residues.append(residue)
-
-            pocket_atomres = [(a, res) for res in pocket_residues
-                              for a in res.get_atoms() if a.element != "H"]
-            pocket_coords = np.array([ar[0].get_coord()
-                                      for ar in pocket_atomres])
-            pocket_elements = np.array([element_fixer(ar[0].element)
-                                        for ar in pocket_atomres])
-            pocket_anames = np.array([ar[0].name for ar in pocket_atomres])
-            pocket_rid = np.array([ar[1].id[1] for ar in pocket_atomres])
-            pocket_feat_coords = np.concatenate(pocket_feat_coords, axis=0)
-            pocket_feat_kind = np.concatenate(pocket_feat_kind, axis=0)
-
-            return (rec, glig, ligand, (feature_coords, feature_kind),
-                    (pocket_coords, pocket_elements, pocket_feat_coords,
-                     pocket_feat_kind, pocket_anames, pocket_rid))
-        except Exception as e:  # per-sample fault tolerance
-            print(e)
-            print(rec, glig)
-            return (rec, glig, None, None, None)
+        return (rec, glig, ligand, (feature_coords, feature_kind),
+                (pocket_coords, pocket_elements, site_coords, site_kinds,
+                 pocket_anames, pocket_rid))
+    except Exception as e:  # per-sample fault tolerance
+        print(f"preprocessing failed for ({rec}, {glig}): {e}")
+        return (rec, glig, None, None, None)
 
 
 def write_processed_dataset(processed_data_dir: str, types_file_path: str,

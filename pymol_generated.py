@@ -1,9 +1,13 @@
 """PyMOL visualization of generated pharmacophores.
 
-Parity with the reference pymol_generated.py: loads pocket.pdb, optional
-reference protein/ligand, and every generated `.xyz` pharmacophore in a
-pocket directory as colored spheres (one color per pharmacophore type via
-the placeholder-element mapping in pharmaforge_tpu.constants).
+Capability parity with the reference's PyMOL script: given a pocket
+directory produced by test.py / generate_pharmacophores.py, it loads
+pocket.pdb, optionally the reference protein/ligand pair, and every
+generated `.xyz` pharmacophore as small spheres, then groups and colors the
+centers by pharmacophore type. Types are recovered from the placeholder
+elements the xyz writer emits (pharmaforge_tpu.constants.TYPE_IDX_TO_ELEM),
+so the selection table is derived from the canonical constants instead of
+being hardcoded.
 
 Run inside PyMOL:  pymol -cq pymol_generated.py -- --pocket_dir <dir>
 """
@@ -11,53 +15,73 @@ Run inside PyMOL:  pymol -cq pymol_generated.py -- --pocket_dir <dir>
 import argparse
 from pathlib import Path
 
-from pymol import cmd  # noqa: F401  (only importable inside PyMOL)
+from pharmaforge_tpu.constants import PH_IDX_TO_TYPE, TYPE_IDX_TO_ELEM
 
-p = argparse.ArgumentParser()
-p.add_argument('--pocket_dir', type=str, default=None,
-               help='pocket directory that contains the generated pharmacophores')
-p.add_argument('--load_reference', action='store_true',
-               help='load reference protein and ligand')
-args = p.parse_args()
+SPHERE_SCALE = 0.4
 
-parent_dir = Path(args.pocket_dir)
-if args.load_reference:
-    reference_dir = parent_dir / 'reference_files'
-    for file in sorted(reference_dir.iterdir()):
-        if file.suffix == '.pdb':
-            cmd.load(str(file), 'reference_protein')
-        elif file.suffix == '.sdf':
-            cmd.load(str(file), 'reference_ligand')
-
-cmd.load(str(parent_dir / 'pocket.pdb'), 'pocket')
-
-ph_files = [file for file in parent_dir.glob('*.xyz')]
-ph_pymol_names = [file.stem for file in ph_files]
-all_ph_sel_str = ' or '.join(ph_pymol_names)
-
-for ph_file, ph_pymol_name in zip(ph_files, ph_pymol_names):
-    cmd.load(str(ph_file))
-    cmd.unbond(ph_pymol_name, ph_pymol_name)
-    cmd.show_as('spheres', ph_pymol_name)
-
-cmd.set('sphere_scale', 0.4, all_ph_sel_str)
-
-# element -> pharmacophore type selections (see constants.TYPE_IDX_TO_ELEM)
-cmd.select('PositiveIon', f'elem N and ({all_ph_sel_str})')
-cmd.select('Hydrophobic', f'elem C and ({all_ph_sel_str})')
-cmd.select('NegativeIon', f'elem O and ({all_ph_sel_str})')
-cmd.select('Aromatic', f'elem P and ({all_ph_sel_str})')
-cmd.select('HydrogenAcceptor', f'elem F and ({all_ph_sel_str})')
-cmd.select('HydrogenDonor', f'elem S and ({all_ph_sel_str})')
-
-pymol_color_map = {
-    'Aromatic': 'purple',
-    'Hydrophobic': 'green',
-    'HydrogenAcceptor': 'orange',
-    'HydrogenDonor': 'white',
-    'PositiveIon': 'blue',
-    'NegativeIon': 'red',
+TYPE_COLORS = {
+    "Aromatic": "purple",
+    "HydrogenDonor": "white",
+    "HydrogenAcceptor": "orange",
+    "PositiveIon": "blue",
+    "NegativeIon": "red",
+    "Hydrophobic": "green",
 }
 
-for ph_type, color in pymol_color_map.items():
-    cmd.color(color, ph_type)
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--pocket_dir", type=str, default=None,
+                   help="pocket directory that contains the generated "
+                        "pharmacophores")
+    p.add_argument("--load_reference", action="store_true",
+                   help="load reference protein and ligand")
+    return p.parse_args(argv)
+
+
+def load_reference_files(cmd, pocket_dir: Path) -> None:
+    """The reference_files subdir holds at most one receptor PDB and one
+    ligand SDF; register them under stable object names."""
+    by_suffix = {".pdb": "reference_protein", ".sdf": "reference_ligand"}
+    for path in sorted((pocket_dir / "reference_files").iterdir()):
+        obj = by_suffix.get(path.suffix)
+        if obj is not None:
+            cmd.load(str(path), obj)
+
+
+def load_pharmacophores(cmd, pocket_dir: Path) -> str:
+    """Load every generated .xyz as an unbonded sphere cloud; return a PyMOL
+    selection expression covering all of them."""
+    names = []
+    for xyz in pocket_dir.glob("*.xyz"):
+        cmd.load(str(xyz))
+        names.append(xyz.stem)
+        cmd.unbond(xyz.stem, xyz.stem)
+        cmd.show_as("spheres", xyz.stem)
+    return " or ".join(names)
+
+
+def style_by_type(cmd, pharm_sel: str) -> None:
+    """One named selection + color per pharmacophore type, keyed off the
+    placeholder element each type maps to in the xyz output."""
+    cmd.set("sphere_scale", SPHERE_SCALE, pharm_sel)
+    for ph_type, elem in zip(PH_IDX_TO_TYPE, TYPE_IDX_TO_ELEM):
+        cmd.select(ph_type, f"elem {elem} and ({pharm_sel})")
+        cmd.color(TYPE_COLORS[ph_type], ph_type)
+
+
+def main(argv=None):
+    from pymol import cmd  # only importable inside a PyMOL session
+
+    args = parse_args(argv)
+    pocket_dir = Path(args.pocket_dir)
+    if args.load_reference:
+        load_reference_files(cmd, pocket_dir)
+    cmd.load(str(pocket_dir / "pocket.pdb"), "pocket")
+    pharm_sel = load_pharmacophores(cmd, pocket_dir)
+    if pharm_sel:
+        style_by_type(cmd, pharm_sel)
+
+
+if __name__ == "__main__":
+    main()
