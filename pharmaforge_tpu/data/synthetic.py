@@ -3,15 +3,30 @@
 Writes a dataset in the exact on-disk format of the reference preprocessing
 output (process_crossdocked.py:173-263) — per-split directories with
 `prot_pharm_tensors.npz`, `prot_file_names.pkl.gz`, `lig_rdmol.pkl.gz` —
-filled with plausible random pocket/pharmacophore geometry. Used for dev
-runs, the test suite, and benchmarking on machines without CrossDocked2020
-(the real pipeline is `process_crossdocked.py` at the repo root).
+filled with random pocket geometry that carries a *learnable* complementarity
+structure. Used for dev runs, the test suite, and benchmarking on machines
+without CrossDocked2020 (the real pipeline is `process_crossdocked.py` at the
+repo root).
 
-Geometry model: pocket atoms are sampled inside a shell around the origin
-(pockets are roughly cavity-shaped); pharmacophore centers and receptor
-pharmacophore sites sit in/near the cavity so that distance-based graph
-construction and complementarity metrics exercise realistic branch
-behavior.
+Geometry + chemistry model:
+
+* pocket atoms sit in a shell around a cavity center (pockets are roughly
+  cavity-shaped), each with a random element;
+* receptor pharmacophore sites are projections of selected pocket atoms
+  toward the cavity, and their site type is a FIXED function of the source
+  atom's element (`element_idx % 6`) — mirroring how real sites derive from
+  residue chemistry via SMARTS;
+* ground-truth pharmacophore centers are complementary by construction:
+  each picks a receptor site, takes the complementary type
+  (donor<->acceptor, +<->-, aromatic/hydrophobic self-paired), and sits
+  within that type's matching distance of the site, displaced toward the
+  cavity center.
+
+Because the sites are a deterministic function of (pocket positions,
+elements), the conditional distribution pharm | pocket has real structure a
+model can learn — and the ground-truth validity metric
+(analysis/metrics.py) is ~1.0 by construction, so train-time validity
+climbing toward 1 measures genuine learning of receptor complementarity.
 """
 
 from __future__ import annotations
@@ -21,6 +36,15 @@ import pickle
 from pathlib import Path
 
 import numpy as np
+
+# complementary pharm type for each receptor-site type, in PH_IDX_TO_TYPE
+# index space [Aromatic, HDonor, HAcceptor, PositiveIon, NegativeIon,
+# Hydrophobic] (constants.py): site Aromatic->pharm Aromatic, HDonor->
+# HAcceptor, HAcceptor->HDonor, Positive->Negative, Negative->Positive,
+# Hydrophobic->Hydrophobic. Consistent with analysis.metrics.MATCHING_TYPES.
+SITE_TO_PHARM_TYPE = np.array([0, 2, 1, 4, 3, 5])
+# matching distance per PHARM type (analysis.metrics.MATCHING_DISTANCE)
+PHARM_TYPE_MAX_DIST = np.array([7.0, 4.0, 4.0, 5.0, 5.0, 5.0])
 
 
 def make_synthetic_processed_dataset(
@@ -47,29 +71,43 @@ def make_synthetic_processed_dataset(
             center = rng.normal(scale=30.0, size=3)
             n_prot = int(rng.integers(*n_prot_range))
             n_pharm = int(rng.integers(*n_pharm_range))
-            n_prot_ph = int(rng.integers(*n_prot_ph_range))
+            n_prot_ph = min(int(rng.integers(*n_prot_ph_range)), n_prot)
 
             # pocket atoms in a shell of radius 4-12 A around the cavity
             dirs = rng.normal(size=(n_prot, 3))
             dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
             radii = rng.uniform(4.0, 12.0, size=(n_prot, 1))
-            p_pos = center + dirs * radii + rng.normal(scale=0.6,
-                                                       size=(n_prot, 3))
-            # pharm centers inside the cavity
-            f_pos = center + rng.normal(scale=2.5, size=(n_pharm, 3))
-            # receptor pharmacophore sites near the pocket surface
-            q_idx = rng.integers(0, n_prot, size=n_prot_ph)
-            q_pos = p_pos[q_idx] + rng.normal(scale=1.0, size=(n_prot_ph, 3))
+            p_pos = (center + dirs * radii
+                     + rng.normal(scale=0.6, size=(n_prot, 3)))
+            p_elem = rng.integers(0, n_prot_elements, size=n_prot)
 
-            pharm_pos.append(p := f_pos.astype(np.float32))
-            pharm_feat.append(rng.integers(0, n_ph_types,
-                                           size=n_pharm).astype(np.int32))
+            # receptor pharmacophore sites: projections of pocket atoms
+            # toward the cavity; site type is a fixed function of element
+            src = rng.choice(n_prot, size=n_prot_ph, replace=False)
+            toward = center - p_pos[src]
+            toward /= np.linalg.norm(toward, axis=1, keepdims=True)
+            q_pos = (p_pos[src] + 1.5 * toward
+                     + rng.normal(scale=0.3, size=(n_prot_ph, 3)))
+            q_type = p_elem[src] % n_ph_types
+
+            # ground-truth pharm centers: complementary to the sites
+            # nearest the cavity center (where a ligand would sit)
+            order = np.argsort(np.linalg.norm(q_pos - center, axis=1))
+            pick = order[rng.integers(0, max(len(order) // 2, 1),
+                                      size=n_pharm)]
+            f_type = SITE_TO_PHARM_TYPE[q_type[pick]]
+            inward = center - q_pos[pick]
+            inward /= np.linalg.norm(inward, axis=1, keepdims=True)
+            dist = rng.uniform(1.0, PHARM_TYPE_MAX_DIST[f_type] - 0.7)
+            f_pos = (q_pos[pick] + dist[:, None] * inward
+                     + rng.normal(scale=0.2, size=(n_pharm, 3)))
+
+            pharm_pos.append(f_pos.astype(np.float32))
+            pharm_feat.append(f_type.astype(np.int32))
             prot_pos.append(p_pos.astype(np.float32))
-            prot_feat.append(rng.integers(0, n_prot_elements,
-                                          size=n_prot).astype(np.int32))
+            prot_feat.append(p_elem.astype(np.int32))
             prot_ph_pos.append(q_pos.astype(np.float32))
-            prot_ph_feat.append(rng.integers(0, n_ph_types,
-                                             size=n_prot_ph).astype(np.float32))
+            prot_ph_feat.append(q_type.astype(np.float32))
             names.append(f"synthetic/pocket_{split}_{i}.pdb")
 
         def spans(arrs):

@@ -49,7 +49,13 @@ def maybe_make_synthetic(config: dict) -> None:
         return
     from pharmaforge_tpu.data.synthetic import make_synthetic_processed_dataset
     print(f'generating synthetic processed dataset at {processed}')
-    make_synthetic_processed_dataset(processed)
+    # honor the config's dataset_size cap (reference dev.yml:82): three
+    # splits of ~a third each, so the capped total matches
+    n_splits = 3
+    per_split = max(int(np.ceil((ds.get('dataset_size') or 96) / n_splits)),
+                    8)
+    make_synthetic_processed_dataset(processed, n_splits=n_splits,
+                                     samples_per_split=per_split)
 
 
 if __name__ == '__main__':
