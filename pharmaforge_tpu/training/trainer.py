@@ -92,6 +92,9 @@ class Trainer:
         self.accumulate = tr.get("trainer_args", {}).get(
             "accumulate_grad_batches", 1) or 1
         self.limit_train_batches = 100 if debug else None
+        # PL semantics: float = fraction of the val loader, int = batch count
+        self.limit_val_batches = tr.get("trainer_args", {}).get(
+            "limit_val_batches", 1.0)
 
         ev = tr.get("evaluation", {})
         self.sample_interval = ev.get("sample_interval", 1.0)
@@ -179,7 +182,8 @@ class Trainer:
             epoch_t0 = time.time()
             epoch_metrics: dict[str, list] = {}
 
-            for batch_idx, batch in enumerate(loader):
+            from pharmaforge_tpu.data.prefetch import prefetch
+            for batch_idx, batch in enumerate(prefetch(loader)):
                 if self.limit_train_batches and batch_idx >= self.limit_train_batches:
                     break
                 epoch_exact = self.epoch + batch_idx / max(n_batches, 1)
@@ -223,11 +227,17 @@ class Trainer:
                     self.lr = self.plateau.step(
                         val_metrics["val total loss"], self.lr)
 
-            # end of epoch: validation + checkpoint
+            # end of epoch: validation + checkpoint + epoch-aggregated
+            # train metrics (the reference logs on_step AND on_epoch,
+            # pharmacodiff.py:295-296)
             key, vkey = jax.random.split(key)
             val_metrics = self.validate(state.params, datamodule, eval_step,
                                         vkey)
-            self.logger.log(val_metrics, step=self.global_step)
+            epoch_means = {f"{k} epoch": float(np.mean(v))
+                           for k, v in epoch_metrics.items()
+                           if k.startswith("train")}
+            self.logger.log({**val_metrics, **epoch_means},
+                            step=self.global_step)
             self.lr = self.plateau.step(val_metrics["val total loss"], self.lr)
             self.epoch += 1
 
@@ -246,9 +256,22 @@ class Trainer:
     # ------------------------------------------------------------ validate
 
     def validate(self, params, datamodule, eval_step, key) -> dict:
+        from pharmaforge_tpu.data.prefetch import prefetch
+
+        loader = datamodule.val_dataloader(seed=self.seed)
+        # trainer_args.limit_val_batches: fraction (float) or count (int)
+        n_batches = len(loader)
+        limit = self.limit_val_batches
+        if isinstance(limit, float):
+            n_batches = max(int(n_batches * limit), 1) if limit > 0 else 0
+        elif limit is not None:
+            n_batches = min(n_batches, int(limit))
+
         sums: dict[str, float] = {}
         weights = 0.0
-        for batch in datamodule.val_dataloader(seed=self.seed):
+        for batch_idx, batch in enumerate(prefetch(loader)):
+            if batch_idx >= n_batches:
+                break
             bs = batch.batch_size
             # pad partial batches so every bucket compiles a single shape
             batch, _ = pad_batch_to_multiple(batch, self.batch_size)
