@@ -47,6 +47,18 @@ SITE_TO_PHARM_TYPE = np.array([0, 2, 1, 4, 3, 5])
 PHARM_TYPE_MAX_DIST = np.array([7.0, 4.0, 4.0, 5.0, 5.0, 5.0])
 
 
+def _thin_points(pts: np.ndarray, min_dist: float) -> np.ndarray:
+    """Greedy thinning: drop points closer than `min_dist` to an earlier
+    kept point (heavy atoms never overlap in real structures)."""
+    kept: list = []
+    min_sq = min_dist * min_dist
+    for p in pts:
+        if not kept or np.min(np.sum((np.asarray(kept) - p) ** 2,
+                                     axis=1)) >= min_sq:
+            kept.append(p)
+    return np.asarray(kept)
+
+
 def make_synthetic_processed_dataset(
         out_dir: str,
         n_splits: int = 3,
@@ -73,16 +85,21 @@ def make_synthetic_processed_dataset(
             n_pharm = int(rng.integers(*n_pharm_range))
             n_prot_ph = min(int(rng.integers(*n_prot_ph_range)), n_prot)
 
-            # pocket atoms in a shell of radius 4-12 A around the cavity
+            # pocket atoms in a shell of radius 4-12 A around the cavity,
+            # thinned to a protein-like minimum heavy-atom spacing so local
+            # degree at the 3.5 A pp cutoff stays realistic (~<= 14)
             dirs = rng.normal(size=(n_prot, 3))
             dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
             radii = rng.uniform(4.0, 12.0, size=(n_prot, 1))
             p_pos = (center + dirs * radii
                      + rng.normal(scale=0.6, size=(n_prot, 3)))
+            p_pos = _thin_points(p_pos, min_dist=1.7)
+            n_prot = len(p_pos)
             p_elem = rng.integers(0, n_prot_elements, size=n_prot)
 
             # receptor pharmacophore sites: projections of pocket atoms
             # toward the cavity; site type is a fixed function of element
+            n_prot_ph = min(n_prot_ph, n_prot)
             src = rng.choice(n_prot, size=n_prot_ph, replace=False)
             toward = center - p_pos[src]
             toward /= np.linalg.norm(toward, axis=1, keepdims=True)
