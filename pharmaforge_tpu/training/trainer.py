@@ -273,8 +273,13 @@ class Trainer:
             if batch_idx >= n_batches:
                 break
             bs = batch.batch_size
-            # pad partial batches so every bucket compiles a single shape
+            # pad partial batches so every bucket compiles a single shape,
+            # then shard over the mesh like the train loop (validation is
+            # data-parallel too; params are already replicated)
             batch, _ = pad_batch_to_multiple(batch, self.batch_size)
+            batch, _ = pad_batch_to_multiple(
+                batch, int(np.prod(self.mesh.devices.shape)))
+            batch = shard_batch(batch, self.mesh)
             key, sub = jax.random.split(key)
             aux = _with_retry(eval_step, params, batch, sub)
             for k, v in aux.items():

@@ -44,3 +44,25 @@ def test_dryrun_multichip_subprocess():
                 pytest.fail("dryrun_multichip timed out twice")
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip(8)" in out.stdout
+
+
+@pytest.mark.slow
+def test_dp_invariance_subprocess():
+    """mesh=1 and mesh=8 must produce the same loss, updated params, and
+    validation metrics on one batch (VERDICT r1 #5)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "tests._dp_invariance_main"],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=1500)
+            break
+        except subprocess.TimeoutExpired:
+            if attempt == 1:
+                pytest.fail("dp invariance run timed out twice")
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert "dp_invariance OK" in out.stdout
