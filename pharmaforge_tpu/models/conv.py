@@ -47,9 +47,9 @@ ETYPES = (
 )
 
 
-def _gather_neighbors(h_src: Array, v_src: Array, idx: Array,
-                      compute_dtype: str = "float32") -> Tuple[Array, Array]:
-    """Gather per-dst neighbor features. idx: [B, Nd, K] into the src axis.
+def _gather_rows(table: Array, idx: Array,
+                 compute_dtype: str = "float32") -> Array:
+    """Gather rows of `table` [B, P, D] at idx [B, Nd, K] -> [B, Nd, K, D].
 
     The gather runs as a one-hot MATMUL on the MXU: profiling shows TPU
     row-gathers (`take_along_axis` -> HLO gather) run ~30x below HBM
@@ -59,24 +59,188 @@ def _gather_neighbors(h_src: Array, v_src: Array, idx: Array,
     decomposition reconstructs 1.0 * value exactly, so selection stays
     bit-exact (covered by a test against take_along_axis).
     """
+    p = table.shape[1]
+    if compute_dtype == "bfloat16":
+        onehot = jax.nn.one_hot(idx, p, dtype=jnp.bfloat16)   # [B,Nd,K,P]
+        return jnp.einsum("bnkp,bpd->bnkd", onehot,
+                          table.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    onehot = jax.nn.one_hot(idx, p, dtype=table.dtype)
+    return jnp.einsum("bnkp,bpd->bnkd", onehot, table,
+                      precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=jnp.float32)
+
+
+def _gather_neighbors(h_src: Array, v_src: Array, idx: Array,
+                      compute_dtype: str = "float32") -> Tuple[Array, Array]:
+    """Gather per-dst neighbor (scalars, vectors) via one one-hot matmul."""
     b, p, s_dim = h_src.shape
     nd, k = idx.shape[1], idx.shape[2]
     v_dim = v_src.shape[-2]
     table = jnp.concatenate(
         [h_src, v_src.reshape(b, p, v_dim * 3)], axis=-1)
-    if compute_dtype == "bfloat16":
-        onehot = jax.nn.one_hot(idx, p, dtype=jnp.bfloat16)   # [B,Nd,K,P]
-        g = jnp.einsum("bnkp,bpd->bnkd", onehot,
-                       table.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-    else:
-        onehot = jax.nn.one_hot(idx, p, dtype=table.dtype)
-        g = jnp.einsum("bnkp,bpd->bnkd", onehot, table,
-                       precision=jax.lax.Precision.HIGHEST,
-                       preferred_element_type=jnp.float32)
+    g = _gather_rows(table, idx, compute_dtype)
     h_g = g[..., :s_dim]
     v_g = g[..., s_dim:].reshape(b, nd, k, v_dim, 3)
     return h_g, v_g
+
+
+class _LinearParams(nn.Module):
+    """Declares a TorchLinear-compatible (kernel, bias) pair without the
+    forward pass, so a hoisted computation can consume the raw tensors while
+    the parameter tree stays byte-identical to `TorchLinear`."""
+
+    fan_in: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        from pharmaforge_tpu.models.gvp import torch_linear_init
+        init = torch_linear_init(self.fan_in)
+        return (self.param("kernel", init, (self.fan_in, self.features)),
+                self.param("bias", init, (self.features,)))
+
+
+class _GVP0Params(nn.Module):
+    """Parameter tree of the FIRST message GVP (identical names/shapes to
+    `GVP`, reference gvp.py:63-86) exposed as raw tensors for the hoisted
+    edge-message computation."""
+
+    dim_vectors_in: int
+    dim_vectors_out: int
+    dim_feats_in: int
+    dim_feats_out: int
+
+    @nn.compact
+    def __call__(self):
+        from pharmaforge_tpu.models.gvp import torch_linear_init
+        dim_h = max(self.dim_vectors_in, self.dim_vectors_out)
+        wh = self.param("Wh", torch_linear_init(self.dim_vectors_in),
+                        (self.dim_vectors_in, dim_h))
+        wu = self.param("Wu", torch_linear_init(dim_h),
+                        (dim_h, self.dim_vectors_out))
+        w1 = _LinearParams(self.dim_feats_in + dim_h, self.dim_feats_out,
+                           name="to_feats_out")()
+        wg = _LinearParams(self.dim_feats_out, self.dim_vectors_out,
+                           name="scalar_to_vector_gates")()
+        return wh, wu, w1, wg
+
+
+class EdgeMessageChain(nn.Module):
+    """Message GVP chain in hoisted, concatenation-free form.
+
+    Numerically equivalent to running `GVPChain` on
+    (cat([h_src, rbf]), cat([x_dir, v_src])) per edge — the reference's
+    message function (gvp.py:540-550) — with the same parameter tree, but
+    restructured for the TPU:
+
+    * `cat([h, d, sh]) @ W1` becomes `h @ W1_h + d @ W1_d + sh @ W1_sh`
+      with W1 split by row blocks — no per-edge concatenation relayouts,
+      and the dominant `h @ W1_h` term moves from the edge tensor
+      ([B,Nd,K,S]) to the source NODES ([B,P,S]): K-fold fewer MXU flops.
+    * `cat([x_dir, v_src])` rows of Wh likewise split:
+      `vh = x_dir (x) Wh[0] + v_src @ Wh[1:]`, and the linear map to
+      `vu = vh @ Wu` distributes, so BOTH per-edge matmuls of the vector
+      path hoist to the nodes; per edge only rank-1 outer products with the
+      unit direction remain.
+    * when the caller knows the source vectors are identically zero (the
+      first conv — dynamics_gvp.py:156-173 zero-inits them), the vector
+      path collapses further: vh = x_dir (x) Wh[0], and since |x_dir| = 1,
+      its channel norms are the CONSTANT |Wh[0]| (clamped) — no per-edge
+      norm at all.
+
+    Per-node precomputed features travel through the same one-hot-matmul
+    gather as the raw features did. GVPs 1..n-1 consume genuinely per-edge
+    inputs and run unmodified.
+    """
+
+    scalar_size: int
+    vector_size: int
+    n_message_gvps: int
+    rbf_dim: int = 16
+    compute_dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, h_src: Array, v_src: Array, edge: "EdgeData",
+                 src_vectors_zero: bool = False) -> Tuple[Array, Array]:
+        """h_src [B,P,S], v_src [B,P,V,3] (ignored when src_vectors_zero),
+        edge carries idx/mask + unit directions + RBF. Returns per-edge
+        (scalars [B,Nd,M,S], vectors [B,Nd,M,V,3])."""
+        from pharmaforge_tpu.ops.geometry import norm_no_nan
+
+        s, v = self.scalar_size, self.vector_size
+        dim_h = v + 1  # max(v + 1, v)
+        (wh, wu, (w1, b1), (wg, bg)) = _GVP0Params(
+            v + 1, v, s + self.rbf_dim, s, name="layers_0")()
+
+        dtype = None if self.compute_dtype == "float32" else self.compute_dtype
+        if dtype is not None:
+            h_src = h_src.astype(dtype)
+            wh, wu, w1, b1 = (a.astype(dtype) for a in (wh, wu, w1, b1))
+            wg, bg = wg.astype(dtype), bg.astype(dtype)
+
+        w1_h = w1[:s]                       # src-scalar rows
+        w1_d = w1[s:s + self.rbf_dim]       # RBF rows
+        w1_sh = w1[s + self.rbf_dim:]       # vector-norm rows
+        wh0 = wh[0]                         # x_dir channel row [H]
+        wh0u = wh0 @ wu                     # [V]
+
+        # ---- per-NODE precompute ------------------------------------------
+        pre_s = h_src @ w1_h                                    # [B,P,S]
+        if not src_vectors_zero:
+            v_in = v_src.astype(dtype) if dtype is not None else v_src
+            vh_pre = jnp.einsum("...vc,vh->...hc", v_in, wh[1:])
+            vu_pre = jnp.einsum("...hc,hu->...uc", vh_pre, wu)
+            b, p = h_src.shape[:2]
+            table = jnp.concatenate(
+                [pre_s, vh_pre.reshape(b, p, dim_h * 3),
+                 vu_pre.reshape(b, p, v * 3)], axis=-1)
+        else:
+            table = pre_s
+
+        # ---- gather / broadcast to edges ----------------------------------
+        if edge.idx is not None:
+            g = _gather_rows(table.astype(jnp.float32), edge.idx,
+                             self.compute_dtype)
+            if dtype is not None:
+                g = g.astype(dtype)
+        else:
+            nd = edge.mask.shape[1]
+            g = jnp.broadcast_to(table[:, None],
+                                 (table.shape[0], nd) + table.shape[1:])
+        b_, nd_, m_ = g.shape[:3]
+        pre_s_g = g[..., :s]
+        x_dir = edge.x_dir.astype(g.dtype)
+        d_rbf = edge.d_rbf.astype(g.dtype)
+
+        # ---- per-EDGE finish of GVP 0 -------------------------------------
+        if src_vectors_zero:
+            vh = wh0[..., :, None] * x_dir[..., None, :]        # [...,H,3]
+            vu = wh0u[..., :, None] * x_dir[..., None, :]       # [...,V,3]
+            # |x_dir| == 1 -> channel norms are the constant |Wh[0]|
+            sh = jnp.sqrt(jnp.clip(wh0.astype(jnp.float32) ** 2, 1e-8))
+            sh_term = (sh.astype(g.dtype) @ w1_sh)              # [S]
+        else:
+            vh_g = g[..., s:s + dim_h * 3].reshape(b_, nd_, m_, dim_h, 3)
+            vu_g = g[..., s + dim_h * 3:].reshape(b_, nd_, m_, v, 3)
+            vh = vh_g + wh0[..., :, None] * x_dir[..., None, :]
+            vu = vu_g + wh0u[..., :, None] * x_dir[..., None, :]
+            sh = norm_no_nan(vh.astype(jnp.float32)).astype(g.dtype)
+            sh_term = sh @ w1_sh
+        feats = jax.nn.silu(pre_s_g + d_rbf @ w1_d + sh_term + b1)
+        gates = feats @ wg + bg
+        v_msg = jax.nn.sigmoid(gates)[..., None] * vu
+
+        # ---- remaining message GVPs run per edge unmodified ----------------
+        specs = tuple(dict(
+            dim_vectors_in=v, dim_vectors_out=v,
+            dim_feats_in=s, dim_feats_out=s,
+            feats_activation="silu", vectors_activation="sigmoid")
+            for _ in range(1, self.n_message_gvps))
+        data = (feats, v_msg)
+        for j, spec in enumerate(specs, start=1):
+            data = GVP(**spec, dtype=dtype, name=f"layers_{j}")(data)
+        return data
 
 
 def _aggregate(s_msg: Array, v_msg: Array, mask: Array,
@@ -208,26 +372,6 @@ class GVPMultiEdgeConv(nn.Module):
     # residual stream and node updates stay fp32)
     compute_dtype: str = "float32"
 
-    def _message_chain(self, name: str) -> GVPChain:
-        dtype = None if self.compute_dtype == "float32" else self.compute_dtype
-        specs = []
-        for i in range(self.n_message_gvps):
-            if i == 0:
-                dim_vectors_in = self.vector_size + 1
-                dim_feats_in = self.scalar_size + self.rbf_dim
-            else:
-                dim_vectors_in = self.vector_size
-                dim_feats_in = self.scalar_size
-            specs.append(dict(
-                dim_vectors_in=dim_vectors_in,
-                dim_vectors_out=self.vector_size,
-                dim_feats_in=dim_feats_in,
-                dim_feats_out=self.scalar_size,
-                feats_activation="silu",
-                vectors_activation="sigmoid",
-            ))
-        return GVPChain(tuple(specs), dtype=dtype, name=name)
-
     def _update_chain(self, name: str) -> GVPChain:
         specs = tuple(dict(
             dim_vectors_in=self.vector_size,
@@ -270,7 +414,8 @@ class GVPMultiEdgeConv(nn.Module):
                  node_masks: Dict[str, Array],
                  bundle: Dict[str, "EdgeData"],
                  deterministic: bool = True,
-                 update_ntypes: tuple = ("pharm", "prot")) -> Dict[str, NodeData]:
+                 update_ntypes: tuple = ("pharm", "prot"),
+                 src_vectors_zero: bool = False) -> Dict[str, NodeData]:
         """`bundle` carries per-edge-type adjacency + geometry precomputed
         once per denoiser forward (models/edges.py) — gathered neighbor
         lists where the source fan-in is narrow (pp, knn-mode pf), full
@@ -280,7 +425,12 @@ class GVPMultiEdgeConv(nn.Module):
         is never consumed downstream (the final conv only feeds the pharm
         noise head, so its prot-side messages + update are dead compute —
         skipping them changes nothing numerically and removes the most
-        expensive edge type, pp, from the last layer)."""
+        expensive edge type, pp, from the last layer).
+
+        `src_vectors_zero` tells the message chains the source vector
+        channels are identically zero (true for the FIRST conv,
+        dynamics_gvp.py:156-173) so the per-edge vector path collapses to a
+        rank-1 outer product with the unit direction."""
         use_mean, norm_values = self._norm_mode()
         dropout = GVPDropout(self.dropout, name="dropout")
 
@@ -292,26 +442,18 @@ class GVPMultiEdgeConv(nn.Module):
             if dst_nt not in update_ntypes:
                 continue
             key = "_".join(etype)
-            chain = self._message_chain(f"edge_message_fns_{key}")
+            chain = EdgeMessageChain(
+                scalar_size=self.scalar_size, vector_size=self.vector_size,
+                n_message_gvps=self.n_message_gvps, rbf_dim=self.rbf_dim,
+                compute_dtype=self.compute_dtype,
+                name=f"edge_message_fns_{key}")
 
             h_src, _, v_src = node_feats[src_nt]
             ed = bundle[ename]
             emask = ed.mask
 
-            if ed.idx is not None:
-                h_g, v_g = _gather_neighbors(h_src, v_src, ed.idx,
-                                             self.compute_dtype)
-            else:
-                nd, ns = emask.shape[1], emask.shape[2]
-                h_g = jnp.broadcast_to(h_src[:, None], (h_src.shape[0], nd, ns, h_src.shape[-1]))
-                v_g = jnp.broadcast_to(
-                    v_src[:, None],
-                    (v_src.shape[0], nd, ns, v_src.shape[-2], 3))
-
-            vec_in = jnp.concatenate([ed.x_dir[..., None, :], v_g], axis=-2)
-            sca_in = jnp.concatenate([h_g, ed.d_rbf], axis=-1)
-
-            s_msg, v_msg = chain((sca_in, vec_in))
+            s_msg, v_msg = chain(h_src, v_src, ed,
+                                 src_vectors_zero=src_vectors_zero)
             # aggregate in fp32 regardless of the chain's compute dtype
             s_agg, v_agg, cnt = _aggregate(
                 s_msg.astype(jnp.float32), v_msg.astype(jnp.float32),

@@ -177,7 +177,10 @@ class PharmRecDynamics(nn.Module):
                 compute_dtype=self.compute_dtype,
                 name=f"conv_layers_{i}",
             )(node_feats, node_masks, bundle,
-              deterministic=deterministic, update_ntypes=update_ntypes)
+              deterministic=deterministic, update_ntypes=update_ntypes,
+              # conv 0's source vectors are the zero-init channels: the
+              # message chains skip their vector gathers/einsums entirely
+              src_vectors_zero=(i == 0))
 
         eps_h, eps_x = NoisePredictionBlock(
             in_scalar_dim=self.n_hidden_scalars,
