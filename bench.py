@@ -179,8 +179,14 @@ def main():
             cost = cost[0] if cost else {}
     except Exception:
         cost = {}
-    chain_flops = float(cost.get("flops", 0.0))
-    chain_bytes = float(cost.get("bytes accessed", 0.0))
+    # XLA's cost analysis counts a while/scan body ONCE regardless of trip
+    # count (verified empirically: identical flops for T=10 and T=50), so
+    # scale by the chain length. Flops are fusion-invariant and hence a
+    # sound MFU numerator; "bytes accessed" counts every op's operands
+    # before fusion (a large overestimate of real HBM traffic), so it is
+    # reported as an informational upper bound only.
+    chain_flops = float(cost.get("flops", 0.0)) * model.config.n_timesteps
+    body_bytes = float(cost.get("bytes accessed", 0.0))
 
     n_batches = -(-args.samples_per_pocket // args.max_batch_size)
 
@@ -202,12 +208,10 @@ def main():
     median_rate = statistics.median(rates)
     best_dt = min(per_repeat)
 
-    # roofline figures from the compiled executable's cost analysis, against
+    # roofline figure from the compiled executable's cost analysis, against
     # the best (least-noisy) repeat
     chains_per_sec = n_batches / best_dt
     mfu = (chain_flops * chains_per_sec) / V5E_BF16_FLOPS if chain_flops else None
-    hbm_util = (chain_bytes * chains_per_sec) / V5E_HBM_BYTES_PER_S \
-        if chain_bytes else None
 
     result = {
         "metric": "pharmacophore samples/sec/chip (full DDPM chain)",
@@ -218,9 +222,9 @@ def main():
         "spread_max": round(max(rates), 3),
         "repeats": args.repeats,
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
-        "hbm_bandwidth_util": round(hbm_util, 4) if hbm_util is not None else None,
         "chain_gflops": round(chain_flops / 1e9, 2) if chain_flops else None,
-        "chain_gbytes": round(chain_bytes / 1e9, 3) if chain_bytes else None,
+        "step_cost_model_gbytes_unfused":
+            round(body_bytes / 1e9, 3) if body_bytes else None,
     }
     if args.measure_torch_baseline:
         result["torch_executor_samples_per_sec_host_cpu"] = round(

@@ -26,7 +26,7 @@ normalization (gvp.py:499-517), and the residual + double-layernorm update
 
 from __future__ import annotations
 
-from typing import Dict, Tuple, Union
+from typing import Dict, NamedTuple, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -101,9 +101,9 @@ class _LinearParams(nn.Module):
                 self.param("bias", init, (self.features,)))
 
 
-class _GVP0Params(nn.Module):
-    """Parameter tree of the FIRST message GVP (identical names/shapes to
-    `GVP`, reference gvp.py:63-86) exposed as raw tensors for the hoisted
+class _GVPParams(nn.Module):
+    """Parameter tree of one GVP (identical names/shapes to `GVP`,
+    reference gvp.py:63-86) exposed as raw tensors for the hoisted
     edge-message computation."""
 
     dim_vectors_in: int
@@ -124,6 +124,20 @@ class _GVP0Params(nn.Module):
         wg = _LinearParams(self.dim_feats_out, self.dim_vectors_out,
                            name="scalar_to_vector_gates")()
         return wh, wu, w1, wg
+
+
+class FactoredVectors(NamedTuple):
+    """Vector messages in rank-1 factored form: v[..., u, c] =
+    amp[..., u] * x_dir[..., c].
+
+    When the source vector channels are identically zero, every vector in
+    the message chain is a scalar multiple of the edge's unit direction
+    (each GVP maps vectors linearly and rescales per channel), so the chain
+    never needs a [..., V, 3] edge tensor — only the [..., V] amplitudes.
+    """
+
+    amp: Array    # [B, Nd, M, V]
+    x_dir: Array  # [B, Nd, M, 3]
 
 
 class EdgeMessageChain(nn.Module):
@@ -162,22 +176,29 @@ class EdgeMessageChain(nn.Module):
 
     @nn.compact
     def __call__(self, h_src: Array, v_src: Array, edge: "EdgeData",
-                 src_vectors_zero: bool = False) -> Tuple[Array, Array]:
+                 src_vectors_zero: bool = False):
         """h_src [B,P,S], v_src [B,P,V,3] (ignored when src_vectors_zero),
         edge carries idx/mask + unit directions + RBF. Returns per-edge
-        (scalars [B,Nd,M,S], vectors [B,Nd,M,V,3])."""
+        (scalars [B,Nd,M,S], vectors) where vectors is a dense
+        [B,Nd,M,V,3] tensor, or `FactoredVectors` when src_vectors_zero."""
         from pharmaforge_tpu.ops.geometry import norm_no_nan
 
         s, v = self.scalar_size, self.vector_size
         dim_h = v + 1  # max(v + 1, v)
-        (wh, wu, (w1, b1), (wg, bg)) = _GVP0Params(
-            v + 1, v, s + self.rbf_dim, s, name="layers_0")()
+        layer_params = [_GVPParams(v + 1, v, s + self.rbf_dim, s,
+                                   name="layers_0")()]
+        for j in range(1, self.n_message_gvps):
+            layer_params.append(_GVPParams(v, v, s, s, name=f"layers_{j}")())
 
         dtype = None if self.compute_dtype == "float32" else self.compute_dtype
-        if dtype is not None:
-            h_src = h_src.astype(dtype)
-            wh, wu, w1, b1 = (a.astype(dtype) for a in (wh, wu, w1, b1))
-            wg, bg = wg.astype(dtype), bg.astype(dtype)
+
+        def cast(*arrs):
+            return tuple(a.astype(dtype) for a in arrs) if dtype is not None \
+                else arrs
+
+        (wh, wu, (w1, b1), (wg, bg)) = layer_params[0]
+        h_src, = cast(h_src)
+        wh, wu, w1, b1, wg, bg = cast(wh, wu, w1, b1, wg, bg)
 
         w1_h = w1[:s]                       # src-scalar rows
         w1_d = w1[s:s + self.rbf_dim]       # RBF rows
@@ -188,7 +209,7 @@ class EdgeMessageChain(nn.Module):
         # ---- per-NODE precompute ------------------------------------------
         pre_s = h_src @ w1_h                                    # [B,P,S]
         if not src_vectors_zero:
-            v_in = v_src.astype(dtype) if dtype is not None else v_src
+            v_in, = cast(v_src)
             vh_pre = jnp.einsum("...vc,vh->...hc", v_in, wh[1:])
             vu_pre = jnp.einsum("...hc,hu->...uc", vh_pre, wu)
             b, p = h_src.shape[:2]
@@ -215,44 +236,63 @@ class EdgeMessageChain(nn.Module):
 
         # ---- per-EDGE finish of GVP 0 -------------------------------------
         if src_vectors_zero:
-            vh = wh0[..., :, None] * x_dir[..., None, :]        # [...,H,3]
-            vu = wh0u[..., :, None] * x_dir[..., None, :]       # [...,V,3]
-            # |x_dir| == 1 -> channel norms are the constant |Wh[0]|
+            # |x_dir| == 1 -> channel norms are the constant |Wh[0]|, and
+            # every vector stays amp (x) x_dir through the whole chain
             sh = jnp.sqrt(jnp.clip(wh0.astype(jnp.float32) ** 2, 1e-8))
             sh_term = (sh.astype(g.dtype) @ w1_sh)              # [S]
-        else:
-            vh_g = g[..., s:s + dim_h * 3].reshape(b_, nd_, m_, dim_h, 3)
-            vu_g = g[..., s + dim_h * 3:].reshape(b_, nd_, m_, v, 3)
-            vh = vh_g + wh0[..., :, None] * x_dir[..., None, :]
-            vu = vu_g + wh0u[..., :, None] * x_dir[..., None, :]
-            sh = norm_no_nan(vh.astype(jnp.float32)).astype(g.dtype)
-            sh_term = sh @ w1_sh
-        feats = jax.nn.silu(pre_s_g + d_rbf @ w1_d + sh_term + b1)
+            feats = jax.nn.silu(pre_s_g + d_rbf @ w1_d + sh_term + b1)
+            amp = jax.nn.sigmoid(feats @ wg + bg) * wh0u        # [...,V]
+            for params_j in layer_params[1:]:
+                (whj, wuj, (w1j, b1j), (wgj, bgj)) = params_j
+                whj, wuj, w1j, b1j, wgj, bgj = cast(whj, wuj, w1j, b1j,
+                                                    wgj, bgj)
+                bh = amp @ whj                                  # [...,H]
+                shj = norm_no_nan(
+                    bh.astype(jnp.float32)[..., None]).astype(g.dtype)
+                feats = jax.nn.silu(feats @ w1j[:s] + shj @ w1j[s:] + b1j)
+                amp = jax.nn.sigmoid(feats @ wgj + bgj) * (bh @ wuj)
+            return feats, FactoredVectors(amp=amp, x_dir=x_dir)
+
+        vh_g = g[..., s:s + dim_h * 3].reshape(b_, nd_, m_, dim_h, 3)
+        vu_g = g[..., s + dim_h * 3:].reshape(b_, nd_, m_, v, 3)
+        vh = vh_g + wh0[..., :, None] * x_dir[..., None, :]
+        vu = vu_g + wh0u[..., :, None] * x_dir[..., None, :]
+        sh = norm_no_nan(vh.astype(jnp.float32)).astype(g.dtype)
+        feats = jax.nn.silu(pre_s_g + d_rbf @ w1_d + sh @ w1_sh + b1)
         gates = feats @ wg + bg
-        v_msg = jax.nn.sigmoid(gates)[..., None] * vu
+        vecs = jax.nn.sigmoid(gates)[..., None] * vu
 
-        # ---- remaining message GVPs run per edge unmodified ----------------
-        specs = tuple(dict(
-            dim_vectors_in=v, dim_vectors_out=v,
-            dim_feats_in=s, dim_feats_out=s,
-            feats_activation="silu", vectors_activation="sigmoid")
-            for _ in range(1, self.n_message_gvps))
-        data = (feats, v_msg)
-        for j, spec in enumerate(specs, start=1):
-            data = GVP(**spec, dtype=dtype, name=f"layers_{j}")(data)
-        return data
+        # ---- remaining message GVPs run per edge (concat-free) -------------
+        for params_j in layer_params[1:]:
+            (whj, wuj, (w1j, b1j), (wgj, bgj)) = params_j
+            whj, wuj, w1j, b1j, wgj, bgj = cast(whj, wuj, w1j, b1j, wgj, bgj)
+            vhj = jnp.einsum("...vc,vh->...hc", vecs, whj)
+            vuj = jnp.einsum("...hc,hu->...uc", vhj, wuj)
+            shj = norm_no_nan(vhj.astype(jnp.float32)).astype(feats.dtype)
+            feats = jax.nn.silu(feats @ w1j[:s] + shj @ w1j[s:] + b1j)
+            vecs = jax.nn.sigmoid(feats @ wgj + bgj)[..., None] * vuj
+        return feats, vecs
 
 
-def _aggregate(s_msg: Array, v_msg: Array, mask: Array,
+def _aggregate(s_msg: Array, v_msg, mask: Array,
                mean: bool) -> Tuple[Array, Array, Array]:
     """Reduce messages over the neighbor axis under the edge mask.
 
+    `v_msg` is a dense [B,Nd,M,V,3] tensor or `FactoredVectors`, whose
+    reduction contracts the neighbor axis directly (one small matmul per
+    destination) without ever materializing the [B,Nd,M,V,3] tensor.
     Returns (scalar_agg [B,Nd,S], vector_agg [B,Nd,V,3], count [B,Nd]).
     Mean over an empty edge set yields 0 (DGL convention).
     """
     m = mask.astype(s_msg.dtype)
     s_sum = jnp.sum(s_msg * m[..., None], axis=2)
-    v_sum = jnp.sum(v_msg * m[..., None, None], axis=2)
+    if isinstance(v_msg, FactoredVectors):
+        amp = (v_msg.amp * m[..., None]).astype(jnp.float32)
+        v_sum = jnp.sum(amp[..., :, None]
+                        * v_msg.x_dir.astype(jnp.float32)[..., None, :],
+                        axis=2)
+    else:
+        v_sum = jnp.sum(v_msg * m[..., None, None], axis=2)
     count = jnp.sum(m, axis=2)
     if mean:
         denom = jnp.maximum(count, 1.0)
@@ -455,9 +495,10 @@ class GVPMultiEdgeConv(nn.Module):
             s_msg, v_msg = chain(h_src, v_src, ed,
                                  src_vectors_zero=src_vectors_zero)
             # aggregate in fp32 regardless of the chain's compute dtype
+            if not isinstance(v_msg, FactoredVectors):
+                v_msg = v_msg.astype(jnp.float32)
             s_agg, v_agg, cnt = _aggregate(
-                s_msg.astype(jnp.float32), v_msg.astype(jnp.float32),
-                emask, mean=use_mean)
+                s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
 
             if agg[dst_nt] is None:
                 agg[dst_nt] = (s_agg, v_agg)
