@@ -220,7 +220,13 @@ class EdgeMessageChain(nn.Module):
             table = pre_s
 
         # ---- gather / broadcast to edges ----------------------------------
-        if edge.idx is not None:
+        from pharmaforge_tpu.models.edges import ReverseEdgeData
+        if isinstance(edge, ReverseEdgeData):
+            # reverse-pair layout: the SOURCE node is the layout row itself
+            f, k = edge.mask.shape[1], edge.mask.shape[2]
+            g = jnp.broadcast_to(table[:, :, None],
+                                 (table.shape[0], f, k, table.shape[-1]))
+        elif edge.idx is not None:
             g = _gather_rows(table.astype(jnp.float32), edge.idx,
                              self.compute_dtype)
             if dtype is not None:
@@ -272,6 +278,37 @@ class EdgeMessageChain(nn.Module):
             feats = jax.nn.silu(feats @ w1j[:s] + shj @ w1j[s:] + b1j)
             vecs = jax.nn.sigmoid(feats @ wgj + bgj)[..., None] * vuj
         return feats, vecs
+
+
+def _scatter_aggregate(s_msg: Array, v_msg, ed, mean: bool
+                       ) -> Tuple[Array, Array, Array]:
+    """Scatter reverse-layout messages ([B, F, K, ...], dst index per slot)
+    into the destination axis with ONE one-hot matmul on the MXU (the same
+    trick as the gathers, in reverse). Returns (s_agg [B,P,S],
+    v_agg [B,P,V,3], count [B,P])."""
+    m = ed.mask.astype(jnp.float32)
+    s = (s_msg.astype(jnp.float32) * m[..., None])
+    if isinstance(v_msg, FactoredVectors):
+        amp = v_msg.amp.astype(jnp.float32) * m[..., None]
+        v = amp[..., :, None] * v_msg.x_dir.astype(jnp.float32)[..., None, :]
+    else:
+        v = v_msg.astype(jnp.float32) * m[..., None, None]
+    b, f, k = ed.mask.shape
+    n_v = v.shape[-2]
+    payload = jnp.concatenate(
+        [s, v.reshape(b, f, k, n_v * 3), m[..., None]], axis=-1)
+    onehot = jax.nn.one_hot(ed.idx, ed.n_dst, dtype=jnp.float32)
+    agg = jnp.einsum("bfkd,bfkp->bpd", payload, onehot,
+                     precision=jax.lax.Precision.HIGHEST)
+    s_dim = s.shape[-1]
+    s_sum = agg[..., :s_dim]
+    v_sum = agg[..., s_dim:s_dim + n_v * 3].reshape(b, ed.n_dst, n_v, 3)
+    count = agg[..., -1]
+    if mean:
+        denom = jnp.maximum(count, 1.0)
+        s_sum = s_sum / denom[..., None]
+        v_sum = v_sum / denom[..., None, None]
+    return s_sum, v_sum, count
 
 
 def _aggregate(s_msg: Array, v_msg, mask: Array,
@@ -495,10 +532,15 @@ class GVPMultiEdgeConv(nn.Module):
             s_msg, v_msg = chain(h_src, v_src, ed,
                                  src_vectors_zero=src_vectors_zero)
             # aggregate in fp32 regardless of the chain's compute dtype
-            if not isinstance(v_msg, FactoredVectors):
-                v_msg = v_msg.astype(jnp.float32)
-            s_agg, v_agg, cnt = _aggregate(
-                s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
+            from pharmaforge_tpu.models.edges import ReverseEdgeData
+            if isinstance(ed, ReverseEdgeData):
+                s_agg, v_agg, cnt = _scatter_aggregate(s_msg, v_msg, ed,
+                                                       mean=use_mean)
+            else:
+                if not isinstance(v_msg, FactoredVectors):
+                    v_msg = v_msg.astype(jnp.float32)
+                s_agg, v_agg, cnt = _aggregate(
+                    s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
 
             if agg[dst_nt] is None:
                 agg[dst_nt] = (s_agg, v_agg)

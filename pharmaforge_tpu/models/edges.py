@@ -53,6 +53,30 @@ class EdgeData(NamedTuple):
     d_rbf: Array
 
 
+class ReverseEdgeData(NamedTuple):
+    """Edges laid out along their REVERSE pairs' destination axis.
+
+    fp edges are exactly the pf pairs reversed (dynamics_gvp.py:209,215).
+    In knn mode pf is a narrow gathered list (each pharm center picks its
+    pf_k nearest prots), so the fp messages are computed on the same tiny
+    [B, F, K] layout — the source pharm IS the layout row, the destination
+    prot is `idx` — and scattered into the prot axis with a one-hot matmul.
+    This avoids materializing the full [B, P, F] pair grid whose slots are
+    ~98% masked. Geometry is shared with pf: x_dir negated, RBF identical.
+
+    mask/idx: [B, F, K]    (idx = destination prot index per slot)
+    x_dir:    [B, F, K, 3] unit displacement src(pharm) - dst(prot)
+    d_rbf:    [B, F, K, RBF_DIM]
+    n_dst:    static size of the prot axis to scatter into
+    """
+
+    mask: Array
+    idx: Array
+    x_dir: Array
+    d_rbf: Array
+    n_dst: int
+
+
 def _pair_geometry(x_dst, x_src_pairs):
     """x_dst [B,Nd,3] against per-dst src coords [B,Nd,M,3]."""
     x_diff = x_src_pairs - x_dst[:, :, None, :]
@@ -119,15 +143,19 @@ def build_edge_bundle(pharm_x, pharm_mask, prot_x, prot_mask, cutoffs,
     if pf_k and pf_k > 0:
         nbrs = knn_neighbor_list(pharm_x, pharm_mask, prot_x, prot_mask,
                                  pf_k)
-        bundle["pf"] = gathered_edge_data(pharm_x, prot_x, nbrs)
-        fp_mask = scatter_transpose_mask(nbrs.idx, nbrs.mask,
-                                         prot_x.shape[1])
+        pf = gathered_edge_data(pharm_x, prot_x, nbrs)
+        bundle["pf"] = pf
+        # fp reuses the pf pair list and geometry on the narrow [B, F, K]
+        # layout (x_dir negated, same RBF) instead of a full [B, P, F] grid
+        bundle["fp"] = ReverseEdgeData(
+            mask=nbrs.mask, idx=nbrs.idx, x_dir=-pf.x_dir, d_rbf=pf.d_rbf,
+            n_dst=prot_x.shape[1])
     else:
         pf_mask = radius_mask(pharm_x, pharm_mask, prot_x, prot_mask,
                               cutoffs["pf"])
         bundle["pf"] = full_edge_data(pharm_x, prot_x, pf_mask)
         fp_mask = jnp.swapaxes(pf_mask, 1, 2)
-    bundle["fp"] = full_edge_data(prot_x, pharm_x, fp_mask)
+        bundle["fp"] = full_edge_data(prot_x, pharm_x, fp_mask)
 
     # pp: gathered top-K radius list
     if pp_edge is None:

@@ -58,19 +58,20 @@ def test_bundle_knn_vs_radius_shapes(rng):
                               pf_k=5, pp_nbrs=pp)
     assert b_knn["pf"].idx is not None
     assert b_knn["pf"].mask.shape == (2, 8, 5)
-    assert b_knn["fp"].idx is None
-    assert b_knn["fp"].mask.shape == (2, 24, 8)
-    # fp edges are exactly the reverse pf pairs
-    fp = np.asarray(b_knn["fp"].mask)
-    idx = np.asarray(b_knn["pf"].idx)
-    m = np.asarray(b_knn["pf"].mask)
-    want = np.zeros_like(fp)
-    for b in range(2):
-        for f in range(8):
-            for kk in range(5):
-                if m[b, f, kk]:
-                    want[b, idx[b, f, kk], f] = True
-    np.testing.assert_array_equal(fp, want)
+    # fp edges are exactly the reverse pf pairs, carried on the narrow
+    # pf layout (ReverseEdgeData) with shared geometry
+    from pharmaforge_tpu.models.edges import ReverseEdgeData
+    fp = b_knn["fp"]
+    assert isinstance(fp, ReverseEdgeData)
+    assert fp.n_dst == 24
+    np.testing.assert_array_equal(np.asarray(fp.idx),
+                                  np.asarray(b_knn["pf"].idx))
+    np.testing.assert_array_equal(np.asarray(fp.mask),
+                                  np.asarray(b_knn["pf"].mask))
+    np.testing.assert_allclose(np.asarray(fp.x_dir),
+                               -np.asarray(b_knn["pf"].x_dir))
+    np.testing.assert_array_equal(np.asarray(fp.d_rbf),
+                                  np.asarray(b_knn["pf"].d_rbf))
 
     b_rad = build_edge_bundle(pharm_x, pm, prot_x, rm, cutoffs, ff_k=0,
                               pf_k=0, pp_nbrs=pp)
