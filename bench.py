@@ -151,7 +151,10 @@ def main():
     params = model.init_params(jax.random.key(0), batch)
 
     def fn(p, b, k):
-        return model.sample_given_receptor(p, b, k)
+        # the workload is one pocket tiled over the batch (tile_pocket), so
+        # the chain dedups the per-copy prot-prot work across the batch
+        return model.sample_given_receptor(
+            p, b, k, pocket_group_size=b.batch_size)
 
     # compile once (also yields the executable's own cost analysis); retry
     # transient compile-service failures (the tunnel here can drop a compile

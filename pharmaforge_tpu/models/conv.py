@@ -492,7 +492,8 @@ class GVPMultiEdgeConv(nn.Module):
                  bundle: Dict[str, "EdgeData"],
                  deterministic: bool = True,
                  update_ntypes: tuple = ("pharm", "prot"),
-                 src_vectors_zero: bool = False) -> Dict[str, NodeData]:
+                 src_vectors_zero: bool = False,
+                 pp_src_group_size: int = 1) -> Dict[str, NodeData]:
         """`bundle` carries per-edge-type adjacency + geometry precomputed
         once per denoiser forward (models/edges.py) — gathered neighbor
         lists where the source fan-in is narrow (pp, knn-mode pf), full
@@ -507,7 +508,17 @@ class GVPMultiEdgeConv(nn.Module):
         `src_vectors_zero` tells the message chains the source vector
         channels are identically zero (true for the FIRST conv,
         dynamics_gvp.py:156-173) so the per-edge vector path collapses to a
-        rank-1 outer product with the unit direction."""
+        rank-1 outer product with the unit direction.
+
+        `pp_src_group_size` = C > 1 declares that every C consecutive batch
+        rows carry an IDENTICAL pocket (same prot scalars, same prot-prot
+        adjacency/geometry) — the layout produced by pocket tiling, the
+        dense analog of the reference's `copy_graph` replication
+        (unorganized_utils.py:28-81). The prot-prot messages are then
+        computed once per group and broadcast to the copies, eliminating the
+        dominant edge type's per-copy work. Only valid together with
+        `src_vectors_zero` (the first conv), where the prot node state is
+        still copy-independent."""
         use_mean, norm_values = self._norm_mode()
         dropout = GVPDropout(self.dropout, name="dropout")
 
@@ -527,6 +538,28 @@ class GVPMultiEdgeConv(nn.Module):
 
             h_src, _, v_src = node_feats[src_nt]
             ed = bundle[ename]
+
+            group = pp_src_group_size if ename == "pp" else 1
+            if group > 1:
+                if not src_vectors_zero:
+                    raise ValueError(
+                        "pp_src_group_size > 1 requires src_vectors_zero: "
+                        "after the first conv the prot state is per-copy")
+                b_full = h_src.shape[0]
+                if b_full % group:
+                    raise ValueError(
+                        f"batch {b_full} not divisible by pocket group "
+                        f"size {group}")
+                g = b_full // group
+
+                def _first(a):
+                    return a.reshape((g, group) + a.shape[1:])[:, 0]
+
+                from pharmaforge_tpu.models.edges import EdgeData
+                h_src = _first(h_src)
+                v_src = _first(v_src)
+                ed = EdgeData(mask=_first(ed.mask), idx=_first(ed.idx),
+                              x_dir=_first(ed.x_dir), d_rbf=_first(ed.d_rbf))
             emask = ed.mask
 
             s_msg, v_msg = chain(h_src, v_src, ed,
@@ -541,6 +574,14 @@ class GVPMultiEdgeConv(nn.Module):
                     v_msg = v_msg.astype(jnp.float32)
                 s_agg, v_agg, cnt = _aggregate(
                     s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
+
+            if group > 1:
+                def _bcast(a):
+                    return jnp.broadcast_to(
+                        a[:, None], (g, group) + a.shape[1:]
+                    ).reshape((b_full,) + a.shape[1:])
+
+                s_agg, v_agg, cnt = _bcast(s_agg), _bcast(v_agg), _bcast(cnt)
 
             if agg[dst_nt] is None:
                 agg[dst_nt] = (s_agg, v_agg)

@@ -300,7 +300,8 @@ class PharmacophoreDiffusion:
                               key: jax.Array,
                               init_pharm_com: Optional[Array] = None,
                               visualize_trajectory: bool = False,
-                              noise: Optional[Dict[str, Array]] = None):
+                              noise: Optional[Dict[str, Array]] = None,
+                              pocket_group_size: int = 1):
         """Full reverse DDPM chain as one lax.scan
         (reference pharmacodiff.py:433-514).
 
@@ -313,12 +314,24 @@ class PharmacophoreDiffusion:
         to float error). Keys: 'x_T' [B,F,3], 'h_T' [B,F,nf] initial
         latents; 'pos'/'feat' [T,B,F,...] per-step posterior noise ordered
         by loop iteration (i=0 is s=T-1).
+
+        `pocket_group_size` = C > 1 declares every C consecutive batch rows
+        carry an identical pocket — the tile_pocket layout of "N samples per
+        pocket" generation (reference copy_graph, unorganized_utils.py:28-81).
+        The denoiser then computes the dominant prot-prot message work once
+        per pocket group per step instead of once per copy; results are
+        numerically identical to pocket_group_size=1. All timesteps share
+        one t across the batch here, so the group-uniformity requirement on
+        t holds by construction.
         """
         cfg = self.config
         pharm_mask = jnp.asarray(batch.pharm_mask)
         prot_mask = jnp.asarray(batch.prot_mask)
         fmask = pharm_mask.astype(jnp.float32)[..., None]
         b, f = pharm_mask.shape
+        if b % pocket_group_size:
+            raise ValueError(f"batch {b} not divisible by "
+                             f"pocket_group_size {pocket_group_size}")
 
         prot_x0 = jnp.asarray(batch.prot_x)
         prot_h = jnp.asarray(batch.prot_h)
@@ -372,7 +385,8 @@ class PharmacophoreDiffusion:
             t_arr = jnp.full((b,), (s + 1).astype(jnp.float32) / n_t)
             pred_h, pred_x = self.dynamics.apply(
                 {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
-                prot_mask, t_arr, pp, deterministic=True, pp_edge=pp_edge)
+                prot_mask, t_arr, pp, deterministic=True, pp_edge=pp_edge,
+                pocket_group_size=pocket_group_size)
 
             var_terms = sigma2_tgs / alpha_tgs / sigma_t
             sigma = sigma_tgs * sigma_s / sigma_t

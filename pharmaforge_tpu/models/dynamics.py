@@ -126,10 +126,19 @@ class PharmRecDynamics(nn.Module):
                  t: Array,           # [B] float in [0, 1]
                  pp_nbrs: NeighborList,
                  deterministic: bool = True,
-                 pp_edge: EdgeData = None) -> Tuple[Array, Array]:
+                 pp_edge: EdgeData = None,
+                 pocket_group_size: int = 1) -> Tuple[Array, Array]:
         """`pp_edge` optionally injects the precomputed prot-prot EdgeData
         (translation invariant, so the sampling chain computes it once for
-        all T steps instead of once per step)."""
+        all T steps instead of once per step).
+
+        `pocket_group_size` = C > 1 declares every C consecutive batch rows
+        share an identical pocket AND an identical timestep t (the pocket-
+        tiling layout of batched sampling, reference copy_graph +
+        pharmacodiff.py:540-556). The first conv's prot-prot messages —
+        which depend only on (prot_h, t, pp geometry) because the vector
+        channels start at zero — are then computed once per group instead
+        of once per copy. Numerically identical to the ungrouped path."""
         cutoffs = dict(self.graph_cutoffs)
 
         # timestep concat + scalar encoding
@@ -180,7 +189,10 @@ class PharmRecDynamics(nn.Module):
               deterministic=deterministic, update_ntypes=update_ntypes,
               # conv 0's source vectors are the zero-init channels: the
               # message chains skip their vector gathers/einsums entirely
-              src_vectors_zero=(i == 0))
+              src_vectors_zero=(i == 0),
+              # pocket-copy dedup is only valid while the prot state is
+              # copy-independent, i.e. before the first fp update lands
+              pp_src_group_size=pocket_group_size if i == 0 else 1)
 
         eps_h, eps_x = NoisePredictionBlock(
             in_scalar_dim=self.n_hidden_scalars,

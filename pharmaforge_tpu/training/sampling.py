@@ -42,11 +42,14 @@ class PocketSampler:
 
     def _sampler(self, visualize: bool):
         if visualize not in self._jitted:
-            def fn(params, batch, key, init_com):
+            def fn(params, batch, key, init_com, group):
+                # every chunk is ONE pocket tiled over the whole batch
+                # (tile_pocket below), so the chain dedups the per-copy
+                # prot-prot work across the full batch
                 return self.model.sample_given_receptor(
                     params, batch, key, init_pharm_com=init_com,
-                    visualize_trajectory=visualize)
-            self._jitted[visualize] = jax.jit(fn)
+                    visualize_trajectory=visualize, pocket_group_size=group)
+            self._jitted[visualize] = jax.jit(fn, static_argnums=4)
         return self._jitted[visualize]
 
     def sample_pocket(self,
@@ -98,7 +101,7 @@ class PocketSampler:
                        / np.maximum(pm.sum(1), 1)).astype(np.float32)
 
             key, sub = jax.random.split(key)
-            out = sampler(self.params, batch, sub, com)
+            out = sampler(self.params, batch, sub, com, batch.batch_size)
             out = {k: np.asarray(v) for k, v in out.items()}
             # keep only real rows
             out = {k: (v[:, :n_real] if k.startswith("traj") else v[:n_real])

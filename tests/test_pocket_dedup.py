@@ -1,0 +1,107 @@
+"""Pocket-copy dedup of the prot-prot message work.
+
+Batched sampling tiles ONE pocket over the batch (tile_pocket, the dense
+analog of reference copy_graph, unorganized_utils.py:28-81). The first
+conv's prot-prot messages depend only on (prot_h, t, static pp geometry) —
+identical across copies — so `pocket_group_size` computes them once per
+group and broadcasts. These tests pin the claim that the grouped path is
+numerically identical to the ungrouped one, end to end.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pharmaforge_tpu.data.batch import tile_pocket
+from pharmaforge_tpu.models.diffusion import (
+    DiffusionConfig,
+    PharmacophoreDiffusion,
+)
+
+
+def tiny_config(**kw):
+    defaults = dict(n_timesteps=6, n_convs=2, vector_size=8,
+                    n_hidden_scalars=32, message_norm="mean",
+                    n_message_gvps=2, n_update_gvps=1, n_noise_gvps=2,
+                    pf_k=4, pp_k_max=8)
+    defaults.update(kw)
+    return DiffusionConfig(**defaults)
+
+
+def make_tiled_batch(rng, b=6, p=40):
+    prot_x = rng.normal(scale=6.0, size=(p, 3)).astype(np.float32)
+    prot_h = np.eye(11, dtype=np.float32)[rng.integers(0, 11, p)]
+    sizes = rng.integers(3, 9, b)
+    return tile_pocket(prot_x, prot_h, sizes)
+
+
+@pytest.mark.parametrize("message_norm", ["mean", 0, 10])
+def test_grouped_chain_matches_ungrouped(message_norm):
+    """Full reverse chain: pocket_group_size=B vs =1, same key."""
+    rng = np.random.default_rng(0)
+    batch = make_tiled_batch(rng)
+    model = PharmacophoreDiffusion(tiny_config(message_norm=message_norm))
+    params = model.init_params(jax.random.key(0), batch)
+    key = jax.random.key(1)
+
+    ref = model.sample_given_receptor(params, batch, key,
+                                      pocket_group_size=1)
+    ded = model.sample_given_receptor(params, batch, key,
+                                      pocket_group_size=batch.batch_size)
+    np.testing.assert_allclose(np.asarray(ded["pharm_x"]),
+                               np.asarray(ref["pharm_x"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ded["pharm_h"]),
+                               np.asarray(ref["pharm_h"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_subgroup_layout():
+    """Two distinct pockets, each tiled 3x, concatenated: group size 3."""
+    rng = np.random.default_rng(1)
+    a = make_tiled_batch(rng, b=3, p=32)
+    b = make_tiled_batch(rng, b=3, p=32)
+    both = jax.tree_util.tree_map(
+        lambda x, y: np.concatenate([x, y], axis=0), a, b)
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), both)
+    key = jax.random.key(2)
+    ref = model.sample_given_receptor(params, both, key, pocket_group_size=1)
+    ded = model.sample_given_receptor(params, both, key, pocket_group_size=3)
+    np.testing.assert_allclose(np.asarray(ded["pharm_x"]),
+                               np.asarray(ref["pharm_x"]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_rejects_bad_group():
+    rng = np.random.default_rng(2)
+    batch = make_tiled_batch(rng, b=5)
+    model = PharmacophoreDiffusion(tiny_config())
+    params = model.init_params(jax.random.key(0), batch)
+    with pytest.raises(ValueError, match="not divisible"):
+        model.sample_given_receptor(params, batch, jax.random.key(1),
+                                    pocket_group_size=4)
+
+
+def test_sampler_uses_dedup_and_matches_direct():
+    """PocketSampler output is identical to the direct ungrouped chain."""
+    from pharmaforge_tpu.training.sampling import PocketSampler
+
+    rng = np.random.default_rng(3)
+    p = 40
+    pocket = {
+        "prot_x": rng.normal(scale=6.0, size=(p, 3)).astype(np.float32),
+        "prot_h": np.eye(11, dtype=np.float32)[rng.integers(0, 11, p)],
+    }
+    model = PharmacophoreDiffusion(tiny_config())
+    sizes = [4, 6, 3, 8]
+    batch = tile_pocket(pocket["prot_x"], pocket["prot_h"], sizes)
+    params = model.init_params(jax.random.key(0), batch)
+
+    sampler = PocketSampler(model, params)
+    phs = sampler.sample_pocket(pocket, sizes, jax.random.key(7))
+    assert len(phs) == len(sizes)
+    for ph, sz in zip(phs, sizes):
+        assert ph.ph_coords.shape == (sz, 3)
+        assert np.isfinite(ph.ph_coords).all()

@@ -42,7 +42,8 @@ class OracleDynamics:
         self.prot_com0 = jnp.asarray(prot_com0)  # [3]
 
     def apply(self, variables, h_t, x_t, pharm_mask, prot_h, prot_x,
-              prot_mask, t, pp, deterministic=True, rngs=None, pp_edge=None):
+              prot_mask, t, pp, deterministic=True, rngs=None, pp_edge=None,
+              pocket_group_size=1):
         idx = jnp.round(t * self.n_t).astype(jnp.int32)
         g = self.gamma[idx][:, None, None]
         alpha, sigma = alpha_of_gamma(g), sigma_of_gamma(g)
