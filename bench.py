@@ -3,10 +3,18 @@
 Workload mirrors the reference README's sampling command (README.md:25):
 30 samples per pocket, pharm sizes 3-8, max_batch_size 32, ~230-atom pocket,
 dev-config model (n_convs=2, T=100). The whole chain runs as one jitted
-lax.scan; we time steady-state device execution (post-compile) over
-`--repeats` independent repeats and report the MEDIAN with min/max spread,
-plus a model-FLOPs-utilization and HBM-roofline figure from the compiled
-executable's own cost analysis.
+lax.scan.
+
+Timing is steady-state THROUGHPUT: each repeat enqueues `--pipeline_depth`
+full chains back-to-back (async jax dispatch, one blocking sync at the end),
+the way a multi-pocket evaluation sweep (test.py) or a serving queue drives
+the chip. On this deployment the chip sits behind a tunnel with tens of ms
+of per-call round-trip latency; pipelined dispatch overlaps that latency
+with device execution, so throughput reflects the device, not the tunnel.
+The single-call latency is measured separately and reported as
+`chain_latency_ms`. The MEDIAN over `--repeats` repeats is the headline,
+with min/max spread, plus a model-FLOPs-utilization figure from the
+compiled executable's own cost analysis.
 
     {"metric": "pharmacophore samples/sec/chip (full DDPM chain)",
      "value": <median samples/sec/chip>, "unit": "samples/sec/chip",
@@ -132,6 +140,10 @@ def main():
     p.add_argument("--max_batch_size", type=int, default=32)
     p.add_argument("--pocket_atoms", type=int, default=230)
     p.add_argument("--repeats", type=int, default=5)
+    p.add_argument("--pipeline_depth", type=int, default=8,
+                   help="chains enqueued back-to-back per repeat (a "
+                        "multi-pocket sweep keeps the dispatch queue full; "
+                        "1 = pure latency mode)")
     p.add_argument("--matmul_precision", type=str, default="bfloat16",
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "
@@ -191,7 +203,19 @@ def main():
     chain_flops = float(cost.get("flops", 0.0)) * model.config.n_timesteps
     body_bytes = float(cost.get("bytes accessed", 0.0))
 
+    # chains per repeat: the whole dispatch queue (pipeline_depth) times the
+    # per-pocket batching (n_batches chunks of max_batch_size)
     n_batches = -(-args.samples_per_pocket // args.max_batch_size)
+    depth = max(args.pipeline_depth, 1) * n_batches
+
+    # single-call latency (tunnel round-trip + chain), median of 3
+    lat = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        out = compiled(params, batch, jax.random.key(100 + r))
+        jax.block_until_ready(out["pharm_x"])
+        lat.append(time.perf_counter() - t0)
+    chain_latency_ms = statistics.median(lat) * 1e3
 
     import contextlib
     profile_ctx = (jax.profiler.trace(args.profile_dir)
@@ -200,20 +224,20 @@ def main():
     with profile_ctx:
         for r in range(args.repeats):
             t0 = time.perf_counter()
-            for i in range(n_batches):
-                out = compiled(params, batch, jax.random.key(2 + r * 97 + i))
-            jax.block_until_ready(out["pharm_x"])
+            outs = [compiled(params, batch, jax.random.key(2 + r * 97 + i))
+                    for i in range(depth)]
+            jax.block_until_ready([o["pharm_x"] for o in outs])
             per_repeat.append(time.perf_counter() - t0)
 
     n_chips = jax.device_count()
-    batch_samples = n_batches * batch.batch_size
+    batch_samples = depth * batch.batch_size
     rates = [batch_samples / dt / n_chips for dt in per_repeat]
     median_rate = statistics.median(rates)
     best_dt = min(per_repeat)
 
     # roofline figure from the compiled executable's cost analysis, against
     # the best (least-noisy) repeat
-    chains_per_sec = n_batches / best_dt
+    chains_per_sec = depth / best_dt
     mfu = (chain_flops * chains_per_sec) / V5E_BF16_FLOPS if chain_flops else None
 
     result = {
@@ -224,6 +248,8 @@ def main():
         "spread_min": round(min(rates), 3),
         "spread_max": round(max(rates), 3),
         "repeats": args.repeats,
+        "pipeline_depth": depth,
+        "chain_latency_ms": round(chain_latency_ms, 2),
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
         "chain_gflops": round(chain_flops / 1e9, 2) if chain_flops else None,
         "step_cost_model_gbytes_unfused":

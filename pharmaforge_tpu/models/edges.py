@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Dict, NamedTuple, Optional
 
 import jax.numpy as jnp
-from jax import lax
 
 from pharmaforge_tpu.ops.geometry import norm_no_nan, rbf
 from pharmaforge_tpu.ops.neighbors import (
@@ -101,14 +100,16 @@ def gathered_edge_data(x_dst, x_src, nbrs: NeighborList) -> EdgeData:
 
 def knn_neighbor_list(dst_x, dst_mask, src_x, src_mask, k: int) -> NeighborList:
     """k-nearest valid srcs per dst as a gathered list (torch_cluster `knn`
-    semantics; fewer than k valid srcs -> masked slots)."""
-    from pharmaforge_tpu.ops.neighbors import pairwise_sqdist
+    semantics; fewer than k valid srcs -> masked slots). Runs per diffusion
+    step, so the selection uses `smallest_k` (k argmin passes) instead of a
+    full top_k sort of the source axis."""
+    from pharmaforge_tpu.ops.neighbors import pairwise_sqdist, smallest_k
     d2 = pairwise_sqdist(dst_x, src_x)
     valid = dst_mask[..., :, None] & src_mask[..., None, :]
     d2 = jnp.where(valid, d2, _BIG)
     k = min(k, d2.shape[-1])
-    neg_d, idx = lax.top_k(-d2, k)
-    return NeighborList(idx=idx.astype(jnp.int32), mask=(-neg_d) < _BIG)
+    d, idx = smallest_k(d2, k)
+    return NeighborList(idx=idx.astype(jnp.int32), mask=d < _BIG)
 
 
 def scatter_transpose_mask(idx, mask, n_src: int) -> Array:

@@ -44,6 +44,41 @@ def pairwise_sqdist(a, b):
     return jnp.sum(diff * diff, axis=-1)
 
 
+# below this k, k-pass extraction beats a full sort of the source axis
+_ITERATIVE_TOPK_MAX = 8
+
+
+def smallest_k(d2, k: int):
+    """(values, indices) of the k smallest entries along the last axis,
+    ascending, ties broken toward the lower index — exactly
+    `lax.top_k(-d2, k)` negated.
+
+    For small k this runs k argmin+mask passes instead of a full sort:
+    XLA lowers top_k on TPU to a variadic sort of the whole axis, which
+    profiling shows dominating the sampling step (a [B,F,P] sort every
+    denoiser call for the pf knn), while k passes of (argmin, mask) are a
+    few cheap reductions.
+    """
+    k = min(k, d2.shape[-1])
+    if k > _ITERATIVE_TOPK_MAX:
+        neg_v, idx = lax.top_k(-d2, k)
+        return -neg_v, idx
+    n = d2.shape[-1]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    cur = d2
+    vals, idxs = [], []
+    for _ in range(k):
+        i = jnp.argmin(cur, axis=-1)
+        v = jnp.take_along_axis(cur, i[..., None], axis=-1)[..., 0]
+        vals.append(v)
+        idxs.append(i.astype(jnp.int32))
+        # disqualify the picked slot with +inf: invalid slots stay at the
+        # finite _BIG sentinel, so exhausted passes walk them in index
+        # order, matching top_k's distinct-index output exactly
+        cur = jnp.where(cols == i[..., None], jnp.inf, cur)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 def radius_mask(dst_x, dst_mask, src_x, src_mask, r, exclude_self=False):
     """Dense adjacency: mask[b, i, j] = src j is a neighbor of dst i within r.
 
@@ -73,8 +108,8 @@ def knn_mask(dst_x, dst_mask, src_x, src_mask, k, exclude_self=False):
         valid = valid & ~jnp.eye(n, dtype=bool)
     d2 = jnp.where(valid, d2, _BIG)
     k = min(k, d2.shape[-1])
-    neg_topk, idx = lax.top_k(-d2, k)  # [..., Nd, k], sorted by distance
-    hit = (-neg_topk) < _BIG           # selected slot holds a real neighbor
+    topk, idx = smallest_k(d2, k)      # [..., Nd, k], sorted by distance
+    hit = topk < _BIG                  # selected slot holds a real neighbor
     sel = jnp.zeros(d2.shape, dtype=bool)
     sel = jnp.put_along_axis(sel, idx, hit, axis=-1, inplace=False)
     return sel & valid

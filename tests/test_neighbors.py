@@ -99,3 +99,24 @@ def test_build_dynamic_edges_fp_is_pf_transposed(rng):
         np.testing.assert_array_equal(
             np.asarray(edges.fp), np.swapaxes(np.asarray(edges.pf), 1, 2))
         assert not np.asarray(edges.ff)[0].diagonal().any()
+
+
+def test_smallest_k_matches_top_k():
+    """k-pass extraction == lax.top_k(-d2, k) including tie order and the
+    exhausted-slot sentinel behavior, across small and large k."""
+    import jax.numpy as jnp
+    from jax import lax
+    from pharmaforge_tpu.ops.neighbors import smallest_k, _BIG
+
+    rng = np.random.default_rng(11)
+    d2 = rng.uniform(0.0, 10.0, size=(3, 7, 33)).astype(np.float32)
+    # plant exact ties and invalid sentinels
+    d2[0, 0, 5] = d2[0, 0, 9] = 1.25
+    d2[1, 2, :] = _BIG
+    d2[2, 3, 20:] = _BIG
+    d2 = jnp.asarray(d2)
+    for k in (1, 4, 8, 12):
+        v, i = smallest_k(d2, k)
+        ref_nv, ref_i = lax.top_k(-d2, min(k, 33))
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+        np.testing.assert_allclose(np.asarray(v), -np.asarray(ref_nv))
