@@ -5,10 +5,12 @@ Workload mirrors the reference README's sampling command (README.md:25):
 dev-config model (n_convs=2, T=100). The whole chain runs as one jitted
 lax.scan.
 
-Timing is steady-state THROUGHPUT: each repeat enqueues `--pipeline_depth`
-full chains back-to-back (async jax dispatch, one blocking sync at the end),
-the way a multi-pocket evaluation sweep (test.py) or a serving queue drives
-the chip. On this deployment the chip sits behind a tunnel with tens of ms
+Timing is steady-state THROUGHPUT over a multi-pocket sweep: every device
+call stacks `--pockets_per_call` distinct pockets x 30 samples each into one
+batch (the `PocketSampler.sample_stacked` layout), and each repeat enqueues
+`--pipeline_depth` such calls back-to-back (async jax dispatch, one blocking
+sync at the end) — the way a dataset evaluation sweep (test.py) or a serving
+queue drives the chip. On this deployment the chip sits behind a tunnel with tens of ms
 of per-call round-trip latency; pipelined dispatch overlaps that latency
 with device execution, so throughput reflects the device, not the tunnel.
 The single-call latency is measured separately and reported as
@@ -61,6 +63,7 @@ def build_workload(args):
         args.pocket_atoms = min(args.pocket_atoms, 96)
         args.samples_per_pocket = min(args.samples_per_pocket, 8)
         args.max_batch_size = min(args.max_batch_size, 8)
+        args.pockets_per_call = min(args.pockets_per_call, 2)
     else:
         # dev-config model (configs/dev.yml dynamics + T=100)
         cfg = DiffusionConfig(n_timesteps=100, n_convs=2,
@@ -73,17 +76,33 @@ def build_workload(args):
                               else "float32")
     model = PharmacophoreDiffusion(cfg)
 
-    rng = np.random.default_rng(0)
-    # synthetic pocket shell ~ realistic CrossDocked pocket geometry
-    n_prot = args.pocket_atoms
-    dirs = rng.normal(size=(n_prot, 3))
-    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-    prot_x = (dirs * rng.uniform(4, 12, (n_prot, 1))).astype(np.float32)
-    prot_h = np.eye(11, dtype=np.float32)[rng.integers(0, 11, n_prot)]
+    import jax
 
+    # synthetic pocket shells ~ realistic CrossDocked pocket geometry; the
+    # device batch stacks `pockets_per_call` DIFFERENT pockets x
+    # samples_per_pocket copies each (pocket-major rows), the layout
+    # PocketSampler.sample_stacked uses for a dataset sweep
+    def make_pocket(seed):
+        r = np.random.default_rng(seed)
+        n_prot = args.pocket_atoms
+        dirs = r.normal(size=(n_prot, 3))
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        px = (dirs * r.uniform(4, 12, (n_prot, 1))).astype(np.float32)
+        ph = np.eye(11, dtype=np.float32)[r.integers(0, 11, n_prot)]
+        return px, ph
+
+    rng = np.random.default_rng(0)
     sizes = rng.integers(3, 9, args.samples_per_pocket)
-    batch = tile_pocket(prot_x, prot_h, sizes[:args.max_batch_size])
-    return model, batch, prot_x, prot_h, sizes
+    chunk = sizes[:args.max_batch_size]
+    tiles, prot_x, prot_h = [], None, None
+    for i in range(max(args.pockets_per_call, 1)):
+        px, ph = make_pocket(i)
+        if prot_x is None:
+            prot_x, prot_h = px, ph
+        tiles.append(tile_pocket(px, ph, chunk))
+    batch = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *tiles)
+    return model, batch, len(chunk), prot_x, prot_h, sizes
 
 
 def measure_torch_baseline(args, prot_x, prot_h, sizes):
@@ -140,10 +159,15 @@ def main():
     p.add_argument("--max_batch_size", type=int, default=32)
     p.add_argument("--pocket_atoms", type=int, default=230)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--pipeline_depth", type=int, default=8,
-                   help="chains enqueued back-to-back per repeat (a "
+    p.add_argument("--pipeline_depth", type=int, default=4,
+                   help="calls enqueued back-to-back per repeat (a "
                         "multi-pocket sweep keeps the dispatch queue full; "
                         "1 = pure latency mode)")
+    p.add_argument("--pockets_per_call", type=int, default=4,
+                   help="distinct pockets stacked into one device batch "
+                        "(PocketSampler.sample_stacked layout); per-step "
+                        "ops are tiny at single-pocket batch, stacking "
+                        "amortizes their fixed cost")
     p.add_argument("--matmul_precision", type=str, default="bfloat16",
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "
@@ -159,14 +183,13 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
-    model, batch, prot_x, prot_h, sizes = build_workload(args)
+    model, batch, group, prot_x, prot_h, sizes = build_workload(args)
     params = model.init_params(jax.random.key(0), batch)
 
     def fn(p, b, k):
-        # the workload is one pocket tiled over the batch (tile_pocket), so
-        # the chain dedups the per-copy prot-prot work across the batch
-        return model.sample_given_receptor(
-            p, b, k, pocket_group_size=b.batch_size)
+        # rows are pocket-major groups of `group` copies each, so the chain
+        # dedups the per-copy prot-prot work within every pocket group
+        return model.sample_given_receptor(p, b, k, pocket_group_size=group)
 
     # compile once (also yields the executable's own cost analysis); retry
     # transient compile-service failures (the tunnel here can drop a compile
@@ -249,6 +272,7 @@ def main():
         "spread_max": round(max(rates), 3),
         "repeats": args.repeats,
         "pipeline_depth": depth,
+        "pockets_per_call": max(args.pockets_per_call, 1),
         "chain_latency_ms": round(chain_latency_ms, 2),
         "mfu_vs_bf16_peak": round(mfu, 4) if mfu is not None else None,
         "chain_gflops": round(chain_flops / 1e9, 2) if chain_flops else None,

@@ -26,7 +26,7 @@ normalization (gvp.py:499-517), and the residual + double-layernorm update
 
 from __future__ import annotations
 
-from typing import Dict, NamedTuple, Tuple, Union
+from typing import Dict, NamedTuple, Optional, Tuple, Union
 
 import flax.linen as nn
 import jax
@@ -220,8 +220,14 @@ class EdgeMessageChain(nn.Module):
             table = pre_s
 
         # ---- gather / broadcast to edges ----------------------------------
-        from pharmaforge_tpu.models.edges import ReverseEdgeData
-        if isinstance(edge, ReverseEdgeData):
+        from pharmaforge_tpu.models.edges import (PreGatheredEdgeData,
+                                                  ReverseEdgeData)
+        if isinstance(edge, PreGatheredEdgeData):
+            # the source table is already in pf-slot order: [B, F*K, D] ->
+            # [B, F, K, D] with no gather at all
+            f, k = edge.mask.shape[1], edge.mask.shape[2]
+            g = table.reshape(table.shape[0], f, k, table.shape[-1])
+        elif isinstance(edge, ReverseEdgeData):
             # reverse-pair layout: the SOURCE node is the layout row itself
             f, k = edge.mask.shape[1], edge.mask.shape[2]
             g = jnp.broadcast_to(table[:, :, None],
@@ -309,6 +315,62 @@ def _scatter_aggregate(s_msg: Array, v_msg, ed, mean: bool
         s_sum = s_sum / denom[..., None]
         v_sum = v_sum / denom[..., None, None]
     return s_sum, v_sum, count
+
+
+def _compact_scatter_aggregate(s_msg: Array, v_msg, ed, mean: bool
+                               ) -> Tuple[Array, Array, Array]:
+    """fp aggregation onto the COMPACT prot axis (pf-slot order).
+
+    Output row e (= pf slot (f, k)) receives the sum of messages over every
+    slot whose destination atom equals slot e's atom — the same per-atom
+    aggregate `_scatter_aggregate` would produce at that atom, but computed
+    on the tiny [B, E, E] slot-equality matrix (E = F*K) instead of a
+    [B, E, P] scatter. Returns (s_agg [B,E,S], v_agg [B,E,V,3],
+    global fp edge count [B]).
+    """
+    b, f, k = ed.mask.shape
+    e = f * k
+    m = ed.mask.reshape(b, e).astype(jnp.float32)
+    a = ed.idx.reshape(b, e)
+    s = s_msg.reshape(b, e, -1).astype(jnp.float32) * m[..., None]
+    if isinstance(v_msg, FactoredVectors):
+        amp = v_msg.amp.reshape(b, e, -1).astype(jnp.float32) * m[..., None]
+        x_dir = v_msg.x_dir.reshape(b, e, 3).astype(jnp.float32)
+        v_flat = (amp[..., :, None] * x_dir[..., None, :]).reshape(b, e, -1)
+    else:
+        n_v = v_msg.shape[-2]
+        v = v_msg.reshape(b, e, n_v, 3).astype(jnp.float32) * m[..., None, None]
+        v_flat = v.reshape(b, e, n_v * 3)
+    payload = jnp.concatenate([s, v_flat, m[..., None]], axis=-1)
+    eq = (a[:, :, None] == a[:, None, :]).astype(jnp.float32) * m[:, None, :]
+    agg = jnp.einsum("bij,bjd->bid", eq, payload,
+                     precision=jax.lax.Precision.HIGHEST)
+    s_dim = s.shape[-1]
+    n_v = (payload.shape[-1] - s_dim - 1) // 3
+    s_sum = agg[..., :s_dim]
+    v_sum = agg[..., s_dim:s_dim + n_v * 3].reshape(b, e, n_v, 3)
+    count = agg[..., -1]
+    if mean:
+        denom = jnp.maximum(count, 1.0)
+        s_sum = s_sum / denom[..., None]
+        v_sum = v_sum / denom[..., None, None]
+    return s_sum, v_sum, jnp.sum(m, axis=1)
+
+
+def _gather_at(table: Array, idx: Array, group: int = 1) -> Array:
+    """Gather rows of `table` at per-copy indices, exactly (fp32 one-hot).
+
+    table: [G, P, D] when group > 1 (one row set per pocket group), else
+    [B, P, D]. idx: [B, E]. Returns [B, E, D].
+    """
+    b, e = idx.shape
+    if group > 1:
+        g = b // group
+        idx2 = idx.reshape(g, group * e)[..., None]
+    else:
+        idx2 = idx[..., None]
+    out = _gather_rows(table.astype(jnp.float32), idx2, "float32")[..., 0, :]
+    return out.reshape(b, e, table.shape[-1])
 
 
 def _aggregate(s_msg: Array, v_msg, mask: Array,
@@ -493,7 +555,8 @@ class GVPMultiEdgeConv(nn.Module):
                  deterministic: bool = True,
                  update_ntypes: tuple = ("pharm", "prot"),
                  src_vectors_zero: bool = False,
-                 pp_src_group_size: int = 1) -> Dict[str, NodeData]:
+                 pp_src_group_size: int = 1,
+                 prot_dst_idx: Optional[Array] = None) -> Dict[str, NodeData]:
         """`bundle` carries per-edge-type adjacency + geometry precomputed
         once per denoiser forward (models/edges.py) — gathered neighbor
         lists where the source fan-in is narrow (pp, knn-mode pf), full
@@ -509,6 +572,16 @@ class GVPMultiEdgeConv(nn.Module):
         channels are identically zero (true for the FIRST conv,
         dynamics_gvp.py:156-173) so the per-edge vector path collapses to a
         rank-1 outer product with the unit direction.
+
+        `prot_dst_idx` [B, F*K] switches the prot destination side to the
+        COMPACT tail: when this conv is the LAST one updating prot state and
+        the next conv consumes that state only through its pf gathers (the
+        `prune_dead_prot_tail` dataflow), the update only matters for the
+        F*K atoms the pf lists reference. Aggregates are gathered/scattered
+        onto that slot axis and the residual update runs on [B, F*K, ...]
+        instead of [B, P, ...]; the returned prot NodeData is compact, ready
+        to be consumed by a `PreGatheredEdgeData` pf descriptor. Per-atom
+        values are exactly those the full-width path computes.
 
         `pp_src_group_size` = C > 1 declares that every C consecutive batch
         rows carry an IDENTICAL pocket (same prot scalars, same prot-prot
@@ -562,20 +635,48 @@ class GVPMultiEdgeConv(nn.Module):
                               x_dir=_first(ed.x_dir), d_rbf=_first(ed.d_rbf))
             emask = ed.mask
 
+            compact = prot_dst_idx is not None and dst_nt == "prot"
             s_msg, v_msg = chain(h_src, v_src, ed,
                                  src_vectors_zero=src_vectors_zero)
             # aggregate in fp32 regardless of the chain's compute dtype
             from pharmaforge_tpu.models.edges import ReverseEdgeData
             if isinstance(ed, ReverseEdgeData):
-                s_agg, v_agg, cnt = _scatter_aggregate(s_msg, v_msg, ed,
-                                                       mean=use_mean)
+                if compact:
+                    s_agg, v_agg, cnt = _compact_scatter_aggregate(
+                        s_msg, v_msg, ed, mean=use_mean)  # cnt: [B] global
+                else:
+                    s_agg, v_agg, cnt = _scatter_aggregate(s_msg, v_msg, ed,
+                                                           mean=use_mean)
             else:
                 if not isinstance(v_msg, FactoredVectors):
                     v_msg = v_msg.astype(jnp.float32)
                 s_agg, v_agg, cnt = _aggregate(
                     s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
+                if compact:
+                    # global edge count first (for dynamic norm), then pull
+                    # the per-atom aggregates onto the compact slot axis
+                    pm = node_masks["prot"].astype(jnp.float32)
+                    if group > 1:
+                        pm = pm.reshape(g, group, -1)[:, 0]
+                    cnt_sum = jnp.sum(cnt * pm, axis=1)
+                    if group > 1:
+                        cnt = jnp.broadcast_to(
+                            cnt_sum[:, None], (g, group)).reshape(b_full)
+                    else:
+                        cnt = cnt_sum  # [B] global
+                    n_v = v_agg.shape[-2]
+                    payload = jnp.concatenate(
+                        [s_agg, v_agg.reshape(v_agg.shape[0],
+                                              v_agg.shape[1], n_v * 3)],
+                        axis=-1)
+                    gathered = _gather_at(payload, prot_dst_idx,
+                                          group if group > 1 else 1)
+                    s_dim = s_agg.shape[-1]
+                    s_agg = gathered[..., :s_dim]
+                    v_agg = gathered[..., s_dim:].reshape(
+                        gathered.shape[0], gathered.shape[1], n_v, 3)
 
-            if group > 1:
+            if group > 1 and not compact:
                 def _bcast(a):
                     return jnp.broadcast_to(
                         a[:, None], (g, group) + a.shape[1:]
@@ -594,16 +695,36 @@ class GVPMultiEdgeConv(nn.Module):
             if ntype not in update_ntypes:
                 out[ntype] = node_feats[ntype]
                 continue
+            compact = prot_dst_idx is not None and ntype == "prot"
             h, x, v = node_feats[ntype]
-            mask = node_masks[ntype].astype(h.dtype)
+            full_mask = node_masks[ntype].astype(h.dtype)
+            if compact:
+                # pull the residual-stream rows onto the compact slot axis
+                bb, p = full_mask.shape
+                n_v = v.shape[-2]
+                payload = jnp.concatenate(
+                    [h, x, v.reshape(bb, p, n_v * 3), full_mask[..., None]],
+                    axis=-1)
+                gathered = _gather_at(payload, prot_dst_idx)
+                s_dim = h.shape[-1]
+                h = gathered[..., :s_dim]
+                x = gathered[..., s_dim:s_dim + 3]
+                v = gathered[..., s_dim + 3:-1].reshape(
+                    bb, prot_dst_idx.shape[1], n_v, 3)
+                mask = gathered[..., -1]
+            else:
+                mask = full_mask
             s_msg, v_msg = agg[ntype]
 
             nv = norm_values[ntype]
             if nv == 0.0:
                 # dynamic per-graph normalization: average incoming degree + 1
                 # (reference gvp.py:504-507)
-                n_edges = jnp.sum(counts[ntype] * mask, axis=1)          # [B]
-                n_nodes = jnp.maximum(jnp.sum(mask, axis=1), 1.0)        # [B]
+                if compact:
+                    n_edges = counts[ntype]                              # [B]
+                else:
+                    n_edges = jnp.sum(counts[ntype] * mask, axis=1)      # [B]
+                n_nodes = jnp.maximum(jnp.sum(full_mask, axis=1), 1.0)   # [B]
                 norm = (n_edges / n_nodes + 1.0)[:, None, None]          # [B,1,1]
                 s_msg = s_msg / norm
                 v_msg = v_msg / norm[..., None]

@@ -91,6 +91,7 @@ class DiffusionConfig:
     ff_k: int = 0
     pf_k: int = 0
     prune_dead_prot_tail: bool = True
+    compact_prot_tail: bool = True
     graph_cutoffs: Tuple[Tuple[str, float], ...] = (
         ("pp", 3.5), ("pf", 8.0), ("fp", 8.0), ("ff", 9.0))
     # TPU-specific: static width of the prot-prot neighbor list. The
@@ -149,6 +150,7 @@ class DiffusionConfig:
             ff_k=self.ff_k,
             pf_k=self.pf_k,
             prune_dead_prot_tail=self.prune_dead_prot_tail,
+            compact_prot_tail=self.compact_prot_tail,
             compute_dtype=self.compute_dtype,
         )
 

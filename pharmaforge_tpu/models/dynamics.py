@@ -112,6 +112,9 @@ class PharmRecDynamics(nn.Module):
     # noise head only reads pharm state); numerically identical, removes the
     # expensive pp edge type from the last layer
     prune_dead_prot_tail: bool = True
+    # run the final prot update only on the F*K pf-gathered atoms (exact;
+    # see the compact-tail note in __call__); off switch for A/B testing
+    compact_prot_tail: bool = True
     # activation dtype for the conv message/update chains
     compute_dtype: str = "float32"
 
@@ -172,10 +175,29 @@ class PharmRecDynamics(nn.Module):
                                    cutoffs, ff_k=self.ff_k, pf_k=self.pf_k,
                                    pp_nbrs=pp_nbrs, pp_edge=pp_edge)
 
+        # compact prot tail: when the LAST conv only updates pharm (its
+        # prot-side work is pruned as dead), the conv before it is the final
+        # writer of prot state, and that state is only ever read back through
+        # the next conv's pf gathers at bundle['pf'].idx. Its prot update can
+        # therefore run on just those F*K rows, and the subsequent pf
+        # "gather" becomes a reshape. Exact per-atom numerics; knn-mode pf
+        # only (radius mode has no narrow index list). Deterministic mode
+        # only: with dropout active the draws would fall per compact slot
+        # instead of per atom, so training keeps the full-width path.
+        compact_at = self.n_convs - 2 if (
+            self.compact_prot_tail and self.prune_dead_prot_tail
+            and self.n_convs >= 2 and self.pf_k and self.pf_k > 0
+            and deterministic) else None
+
+        from pharmaforge_tpu.models.edges import PreGatheredEdgeData
         for i in range(self.n_convs):
             last = i == self.n_convs - 1
             update_ntypes = ("pharm",) if (last and self.prune_dead_prot_tail) \
                 else ("pharm", "prot")
+            pf = bundle["pf"]
+            prot_dst_idx = None
+            if compact_at is not None and i == compact_at:
+                prot_dst_idx = pf.idx.reshape(pf.idx.shape[0], -1)
             node_feats = GVPMultiEdgeConv(
                 scalar_size=self.n_hidden_scalars,
                 vector_size=self.vector_size,
@@ -192,7 +214,14 @@ class PharmRecDynamics(nn.Module):
               src_vectors_zero=(i == 0),
               # pocket-copy dedup is only valid while the prot state is
               # copy-independent, i.e. before the first fp update lands
-              pp_src_group_size=pocket_group_size if i == 0 else 1)
+              pp_src_group_size=pocket_group_size if i == 0 else 1,
+              prot_dst_idx=prot_dst_idx)
+            if prot_dst_idx is not None:
+                # prot state is now compact: the remaining conv reads it only
+                # through pf, which becomes a pre-gathered reshape
+                bundle = dict(bundle)
+                bundle["pf"] = PreGatheredEdgeData(
+                    mask=pf.mask, x_dir=pf.x_dir, d_rbf=pf.d_rbf)
 
         eps_h, eps_x = NoisePredictionBlock(
             in_scalar_dim=self.n_hidden_scalars,

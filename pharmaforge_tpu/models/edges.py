@@ -52,6 +52,21 @@ class EdgeData(NamedTuple):
     d_rbf: Array
 
 
+class PreGatheredEdgeData(NamedTuple):
+    """pf edges whose source prot table is ALREADY in pf-slot order.
+
+    Produced by the compact prot-tail path: the previous conv updated only
+    the F*K prot atoms the pf lists reference, stored as a [B, F*K, ...]
+    table where slot (f, k) IS pharm f's k-th neighbor. The message chain's
+    "gather" is then a reshape. mask/x_dir/d_rbf are the ordinary pf edge
+    descriptors ([B, F, K, ...]).
+    """
+
+    mask: Array
+    x_dir: Array
+    d_rbf: Array
+
+
 class ReverseEdgeData(NamedTuple):
     """Edges laid out along their REVERSE pairs' destination axis.
 

@@ -121,7 +121,21 @@ class PocketSampler:
                visualize_trajectory: bool = False
                ) -> List[List[SampledPharmacophore]]:
         """Multi-receptor sampling (reference pharmacodiff.py:516-578):
-        per-pocket lists of sampled pharmacophores."""
+        per-pocket lists of sampled pharmacophores.
+
+        When every pocket requests the same number of samples, all pockets
+        pad to one protein slot count (`fixed_prot_slots`), and each
+        pocket's samples fit one chunk, the whole sweep runs as ONE stacked
+        device call (B = n_pockets * samples_each, `pocket_group_size` =
+        samples_each) — per-step device ops are tiny at single-pocket batch
+        sizes, so stacking pockets amortizes their fixed cost.
+        """
+        same_count = len({len(s) for s in n_pharms}) == 1
+        if (same_count and self.fixed_prot_slots and len(pockets) > 1
+                and len(n_pharms[0]) <= max_batch_size
+                and not visualize_trajectory):
+            return self.sample_stacked(pockets, n_pharms, key,
+                                       init_pharm_com=init_pharm_com)
         per_pocket = []
         for i, (pocket, sizes) in enumerate(zip(pockets, n_pharms)):
             com_i = None
@@ -132,4 +146,53 @@ class PocketSampler:
                 pocket, sizes, sub, max_batch_size=max_batch_size,
                 init_pharm_com=com_i,
                 visualize_trajectory=visualize_trajectory))
+        return per_pocket
+
+    def sample_stacked(self,
+                       pockets: List[dict],
+                       n_pharms: List[Sequence[int]],
+                       key: jax.Array,
+                       init_pharm_com: Optional[np.ndarray] = None
+                       ) -> List[List[SampledPharmacophore]]:
+        """All pockets x samples in one stacked device batch.
+
+        Rows are grouped pocket-major (pocket i occupies rows
+        [i*c, (i+1)*c)), so the chain dedups the prot-prot work per pocket
+        group. Numerics are identical to the per-pocket path (same padded
+        shapes, same per-group dedup)."""
+        c = len(n_pharms[0])
+        f_max = max(DEFAULT_MAX_PHARM,
+                    max(max(s) for s in n_pharms))
+        tiles = [tile_pocket(p["prot_x"], p["prot_h"], sizes,
+                             n_pharm_feats=self.model.config.pharm_nf,
+                             max_pharm=f_max,
+                             max_prot=self.fixed_prot_slots,
+                             prot_bucket_multiple=self.prot_bucket_multiple)
+                 for p, sizes in zip(pockets, n_pharms)]
+        batch = jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *tiles)
+
+        if init_pharm_com is not None:
+            coms = np.asarray(init_pharm_com, np.float32).reshape(-1, 3)
+        else:
+            pm = batch.prot_mask[::c][..., None]
+            coms = ((batch.prot_x[::c] * pm).sum(1)
+                    / np.maximum(pm.sum(1), 1)).astype(np.float32)
+        com = np.repeat(coms, c, axis=0)
+
+        sampler = self._sampler(False)
+        out = sampler(self.params, batch, key, com, c)
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        per_pocket = []
+        for i, pocket in enumerate(pockets):
+            prot_ph_pos = pocket.get("prot_ph_x")
+            prot_ph_types = None
+            if prot_ph_pos is not None and len(prot_ph_pos):
+                idxs = np.asarray(pocket["prot_ph_h"]).argmax(axis=1)
+                prot_ph_types = [PH_IDX_TO_TYPE[int(j)] for j in idxs]
+            sub = {k: v[i * c:(i + 1) * c] for k, v in out.items()}
+            per_pocket.append(SampledPharmacophore.from_batch(
+                sub, self.pharm_type_map, with_trajectory=False,
+                prot_ph_pos=prot_ph_pos, prot_ph_types=prot_ph_types))
         return per_pocket

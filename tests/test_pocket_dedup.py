@@ -105,3 +105,73 @@ def test_sampler_uses_dedup_and_matches_direct():
     for ph, sz in zip(phs, sizes):
         assert ph.ph_coords.shape == (sz, 3)
         assert np.isfinite(ph.ph_coords).all()
+
+
+def test_sample_stacked_matches_direct_chain():
+    """sample_stacked == the direct grouped chain on the same stacked batch."""
+    from pharmaforge_tpu.training.sampling import PocketSampler
+
+    rng = np.random.default_rng(4)
+
+    def pocket(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "prot_x": r.normal(scale=6.0, size=(36, 3)).astype(np.float32),
+            "prot_h": np.eye(11, dtype=np.float32)[r.integers(0, 11, 36)],
+        }
+
+    pockets = [pocket(0), pocket(1)]
+    sizes = [[4, 6, 3], [5, 8, 3]]
+    model = PharmacophoreDiffusion(tiny_config())
+    tiles = [tile_pocket(p["prot_x"], p["prot_h"], s, max_prot=64)
+             for p, s in zip(pockets, sizes)]
+    batch = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate(xs, axis=0), *tiles)
+    params = model.init_params(jax.random.key(0), batch)
+
+    sampler = PocketSampler(model, params, fixed_prot_slots=64)
+    key = jax.random.key(9)
+    per_pocket = sampler.sample_stacked(pockets, sizes, key)
+    assert [len(p) for p in per_pocket] == [3, 3]
+
+    pm = batch.prot_mask[::3][..., None]
+    coms = ((batch.prot_x[::3] * pm).sum(1)
+            / np.maximum(pm.sum(1), 1)).astype(np.float32)
+    com = np.repeat(coms, 3, axis=0)
+    direct = model.sample_given_receptor(params, batch, key,
+                                         init_pharm_com=com,
+                                         pocket_group_size=3)
+    direct_x = np.asarray(direct["pharm_x"])
+    for i, phs in enumerate(per_pocket):
+        for j, ph in enumerate(phs):
+            n = len(sizes[i][j] * [0])
+            row = direct_x[i * 3 + j][:sizes[i][j]]
+            np.testing.assert_allclose(ph.ph_coords, row, rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_sample_multi_pocket_uses_stacked_path():
+    """PocketSampler.sample with equal per-pocket counts routes through the
+    stacked single-call path and returns well-formed pharmacophores."""
+    from pharmaforge_tpu.training.sampling import PocketSampler
+
+    def pocket(seed):
+        r = np.random.default_rng(seed)
+        return {
+            "prot_x": r.normal(scale=6.0, size=(30, 3)).astype(np.float32),
+            "prot_h": np.eye(11, dtype=np.float32)[r.integers(0, 11, 30)],
+        }
+
+    model = PharmacophoreDiffusion(tiny_config())
+    pockets = [pocket(1), pocket(2), pocket(3)]
+    sizes = [[4, 5], [3, 8], [6, 6]]
+    batch = tile_pocket(pockets[0]["prot_x"], pockets[0]["prot_h"], [4, 5],
+                        max_prot=64)
+    params = model.init_params(jax.random.key(0), batch)
+    sampler = PocketSampler(model, params, fixed_prot_slots=64)
+    out = sampler.sample(pockets, sizes, jax.random.key(2))
+    assert [len(p) for p in out] == [2, 2, 2]
+    for phs, szs in zip(out, sizes):
+        for ph, sz in zip(phs, szs):
+            assert ph.ph_coords.shape == (sz, 3)
+            assert np.isfinite(ph.ph_coords).all()
