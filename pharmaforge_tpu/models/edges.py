@@ -157,9 +157,21 @@ def build_edge_bundle(pharm_x, pharm_mask, prot_x, prot_mask, cutoffs,
 
     # pf: prot->pharm; fp: exact reverse pairs
     if pf_k and pf_k > 0:
-        nbrs = knn_neighbor_list(pharm_x, pharm_mask, prot_x, prot_mask,
-                                 pf_k)
-        pf = gathered_edge_data(pharm_x, prot_x, nbrs)
+        from pharmaforge_tpu.ops.pallas import edge_kernel_enabled
+        if edge_kernel_enabled():
+            # fused selection + coordinate gather in one Pallas launch (the
+            # k argmin passes + gather are ~100 tiny VPU ops in plain XLA)
+            from pharmaforge_tpu.ops.pallas.knn_select import knn_select
+            idx, dist, x_g = knn_select(pharm_x, pharm_mask, prot_x,
+                                        prot_mask, pf_k)
+            nbrs = NeighborList(idx=idx, mask=dist < _BIG)
+            x_dir, d_rbf = _pair_geometry(pharm_x, x_g)
+            pf = EdgeData(mask=nbrs.mask, idx=nbrs.idx, x_dir=x_dir,
+                          d_rbf=d_rbf)
+        else:
+            nbrs = knn_neighbor_list(pharm_x, pharm_mask, prot_x, prot_mask,
+                                     pf_k)
+            pf = gathered_edge_data(pharm_x, prot_x, nbrs)
         bundle["pf"] = pf
         # fp reuses the pf pair list and geometry on the narrow [B, F, K]
         # layout (x_dir negated, same RBF) instead of a full [B, P, F] grid
