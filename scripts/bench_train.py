@@ -17,7 +17,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=32)
     p.add_argument("--pocket_atoms", type=int, default=230)
-    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--matmul_precision", default="float32",
                    choices=["float32", "tensorfloat32", "bfloat16"])
     p.add_argument("--compute_dtype", default="float32",
@@ -76,16 +77,21 @@ def main():
     state, aux = train_step(state, batch, jax.random.key(1), 1e-3)
     jax.block_until_ready(aux["train total loss"])
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        state, aux = train_step(state, batch, jax.random.key(2 + i), 1e-3)
-    jax.block_until_ready(aux["train total loss"])
-    dt = time.perf_counter() - t0
+    rates = []
+    for r in range(args.repeats):
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, aux = train_step(
+                state, batch, jax.random.key(2 + r * args.steps + i), 1e-3)
+        jax.block_until_ready(aux["train total loss"])
+        rates.append(args.steps / (time.perf_counter() - t0))
 
     print(json.dumps({
         "metric": "CrossDocked train steps/sec",
-        "value": round(args.steps / dt, 3),
+        "value": round(float(np.median(rates)), 3),
         "unit": "steps/sec",
+        "min": round(min(rates), 3),
+        "max": round(max(rates), 3),
         "batch_size": args.batch_size,
         "n_chips": jax.device_count(),
     }))
