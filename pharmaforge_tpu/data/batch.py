@@ -114,6 +114,13 @@ def collate_complexes(samples: Sequence[dict],
     )
 
 
+def stack_batches(batches: Sequence[PharmComplexBatch]) -> PharmComplexBatch:
+    """Stack K same-shape batches on a new leading axis (for the scanned
+    multi-step train call, training.train_state.make_multi_train_step)."""
+    import jax
+    return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+
 def tile_pocket(prot_x: np.ndarray, prot_h: np.ndarray,
                 pharm_sizes: Sequence[int],
                 n_pharm_feats: int = 6,

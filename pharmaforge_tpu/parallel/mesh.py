@@ -38,6 +38,13 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
     return jax.device_put(batch, sharding)
 
 
+def shard_stacked_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Shard a K-stacked batch pytree (leading scan axis K, then the batch
+    axis) over the mesh: scan axis replicated, batch axis sharded."""
+    sharding = NamedSharding(mesh, P(None, axis_name))
+    return jax.device_put(batch, sharding)
+
+
 def pad_batch_to_multiple(batch, multiple: int):
     """Pad the leading axis so it divides the mesh size.
 

@@ -64,6 +64,49 @@ def make_train_step(model: PharmacophoreDiffusion,
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_train_step(model: PharmacophoreDiffusion,
+                          optimizer: optax.GradientTransformation,
+                          donate: bool = True) -> Callable:
+    """Build a jitted call that runs K train steps as one `lax.scan`.
+
+    The single-step path costs one dispatch round-trip per optimizer update;
+    on a 1-core host (or behind a tunnel) that dispatch gap, not device time,
+    bounds steps/sec (profiled: 2.8 ms device vs ~14 ms wall per step).
+    Scanning K steps inside one XLA program amortizes the dispatch K-fold and
+    returns the K per-step metric dicts in one device->host transfer.
+
+    Takes a *stacked* batch pytree (leading axis K, see
+    data.batch.stack_batches); K is static per compiled shape. Numerics per
+    step are identical to `make_train_step` — same loss, same update, a
+    per-step dropout/noise key split from the call key.
+    """
+
+    def multi_train_step(state: TrainState, batches: PharmComplexBatch,
+                         key: jax.Array, lr) -> Tuple[TrainState, dict]:
+        k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, k)
+
+        def body(carry: TrainState, xs):
+            batch, step_key = xs
+
+            def loss_fn(params):
+                return model.loss(params, batch, step_key, train=True,
+                                  phase="train")
+
+            (_, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                carry.params)
+            opt_state = _set_lr(carry.opt_state, lr)
+            updates, opt_state = optimizer.update(grads, opt_state,
+                                                  carry.params)
+            params = optax.apply_updates(carry.params, updates)
+            return TrainState(params=params, opt_state=opt_state,
+                              step=carry.step + 1), aux
+
+        return jax.lax.scan(body, state, (batches, keys))
+
+    return jax.jit(multi_train_step, donate_argnums=(0,) if donate else ())
+
+
 def make_eval_step(model: PharmacophoreDiffusion) -> Callable:
     """Jitted validation step (dropout off, fresh diffusion noise)."""
 

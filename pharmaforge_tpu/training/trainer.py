@@ -29,11 +29,13 @@ from pharmaforge_tpu.data.datamodule import CrossdockedDataModule
 from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
 from pharmaforge_tpu.models.size_dist import PharmSizeDistribution
 from pharmaforge_tpu.analysis.metrics import SampleAnalyzer
+from pharmaforge_tpu.data.batch import stack_batches
 from pharmaforge_tpu.parallel.mesh import (
     make_mesh,
     pad_batch_to_multiple,
     replicate,
     shard_batch,
+    shard_stacked_batch,
 )
 from pharmaforge_tpu.training.checkpoints import RunCheckpointer, abstract_like
 from pharmaforge_tpu.training.logging import MetricsLogger
@@ -42,6 +44,7 @@ from pharmaforge_tpu.training.sampling import PocketSampler
 from pharmaforge_tpu.training.train_state import (
     TrainState,
     make_eval_step,
+    make_multi_train_step,
     make_train_step,
 )
 
@@ -92,6 +95,12 @@ class Trainer:
         self.accumulate = tr.get("trainer_args", {}).get(
             "accumulate_grad_batches", 1) or 1
         self.limit_train_batches = 100 if debug else None
+        # train steps scanned inside one device call (1 = dispatch each
+        # step; >1 amortizes the per-call round-trip on dispatch-bound
+        # hosts; see train_state.make_multi_train_step). Same-shape batches
+        # are chunked per call, so val/sampling cadence checks coarsen to
+        # chunk boundaries.
+        self.steps_per_call = tr.get("steps_per_call", 1) or 1
         # PL semantics: float = fraction of the val loader, int = batch count
         self.limit_val_batches = tr.get("trainer_args", {}).get(
             "limit_val_batches", 1.0)
@@ -164,6 +173,9 @@ class Trainer:
         # donation is off so a transient step failure can retry with intact
         # inputs (donated buffers may be invalidated by a failed call)
         train_step = make_train_step(model, self.optimizer, donate=False)
+        multi_step = (make_multi_train_step(model, self.optimizer,
+                                            donate=False)
+                      if self.steps_per_call > 1 else None)
         eval_step = make_eval_step(model)
 
         size_dist = PharmSizeDistribution(
@@ -182,24 +194,17 @@ class Trainer:
             epoch_t0 = time.time()
             epoch_metrics: dict[str, list] = {}
 
-            from pharmaforge_tpu.data.prefetch import prefetch
-            for batch_idx, batch in enumerate(prefetch(loader)):
-                if self.limit_train_batches and batch_idx >= self.limit_train_batches:
-                    break
+            def after_step(batch_idx, aux_row):
+                """Per-optimizer-step bookkeeping: metrics + cadence checks.
+
+                `aux_row` holds host floats; cadence (train-time sampling,
+                fractional validation) reads the *current* state, so with
+                chunked calls it fires at chunk boundaries.
+                """
+                nonlocal key
                 epoch_exact = self.epoch + batch_idx / max(n_batches, 1)
-
-                # pad partial batches up to the full batch size (one compiled
-                # shape per bucket), then to a mesh-divisible count
-                batch, _ = pad_batch_to_multiple(batch, self.batch_size)
-                batch, _ = pad_batch_to_multiple(
-                    batch, int(np.prod(self.mesh.devices.shape)))
-                batch = shard_batch(batch, self.mesh)
-                key, step_key = jax.random.split(key)
-                state, aux = _with_retry(train_step, state, batch, step_key,
-                                         self.lr)
-
                 self.global_step += 1
-                metrics = {k: float(v) for k, v in aux.items()}
+                metrics = dict(aux_row)
                 metrics["lr"] = self.lr
                 metrics["epoch_exact"] = epoch_exact
                 for k, v in metrics.items():
@@ -226,6 +231,53 @@ class Trainer:
                     self.logger.log(val_metrics, step=self.global_step)
                     self.lr = self.plateau.step(
                         val_metrics["val total loss"], self.lr)
+
+            def run_single(batch_idx, batch):
+                nonlocal state, key
+                sharded = shard_batch(batch, self.mesh)
+                key, step_key = jax.random.split(key)
+                state, aux = _with_retry(train_step, state, sharded,
+                                         step_key, self.lr)
+                after_step(batch_idx, {k: float(v) for k, v in aux.items()})
+
+            def run_chunk(entries):
+                """One scanned multi-step call over same-shape batches."""
+                nonlocal state, key
+                idxs = [i for i, _ in entries]
+                stacked = shard_stacked_batch(
+                    stack_batches([b for _, b in entries]), self.mesh)
+                key, step_key = jax.random.split(key)
+                state, aux = _with_retry(multi_step, state, stacked,
+                                         step_key, self.lr)
+                rows = {k: np.asarray(v) for k, v in aux.items()}
+                for j, batch_idx in enumerate(idxs):
+                    after_step(batch_idx,
+                               {k: float(v[j]) for k, v in rows.items()})
+
+            pending: dict = {}  # padded shape -> [(batch_idx, batch)]
+            from pharmaforge_tpu.data.prefetch import prefetch
+            for batch_idx, batch in enumerate(prefetch(loader)):
+                if self.limit_train_batches and batch_idx >= self.limit_train_batches:
+                    break
+                # pad partial batches up to the full batch size (one compiled
+                # shape per bucket), then to a mesh-divisible count
+                batch, _ = pad_batch_to_multiple(batch, self.batch_size)
+                batch, _ = pad_batch_to_multiple(
+                    batch, int(np.prod(self.mesh.devices.shape)))
+                if self.steps_per_call <= 1:
+                    run_single(batch_idx, batch)
+                    continue
+                shape = batch.prot_x.shape
+                entries = pending.setdefault(shape, [])
+                entries.append((batch_idx, batch))
+                if len(entries) == self.steps_per_call:
+                    run_chunk(pending.pop(shape))
+            # leftovers smaller than a chunk run through the single-step
+            # path (no extra compiled multi-step shapes)
+            for entries in pending.values():
+                for batch_idx, batch in entries:
+                    run_single(batch_idx, batch)
+            pending.clear()
 
             # end of epoch: validation + checkpoint + epoch-aggregated
             # train metrics (the reference logs on_step AND on_epoch,
