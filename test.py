@@ -62,6 +62,9 @@ def parse_arguments():
     p.add_argument('--matmul_precision', type=str, default='float32',
                    choices=['float32', 'tensorfloat32', 'bfloat16'],
                    help='TPU matmul precision for the sampling chain')
+    p.add_argument('--n_devices', type=int, default=None,
+                   help='shard multi-pocket sampling sweeps over this many '
+                        'chips (default: all local devices when >1)')
     args = p.parse_args()
 
     if args.ckpt is None and args.model_dir is None:
@@ -97,9 +100,16 @@ def main():
     # compile the T-step sampling chain exactly once
     from pharmaforge_tpu.data.batch import bucket_size
     sizes = test_dataset.prot_idx[:, 1] - test_dataset.prot_idx[:, 0]
+    import jax as _jax
+    n_dev = args.n_devices or _jax.local_device_count()
+    mesh = None
+    if n_dev > 1:
+        from pharmaforge_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(n_dev)
     sampler = PocketSampler(model, params,
                             pharm_type_map=config['dataset']['ph_type_map'],
-                            fixed_prot_slots=bucket_size(int(sizes.max())))
+                            fixed_prot_slots=bucket_size(int(sizes.max())),
+                            mesh=mesh)
     size_dist = PharmSizeDistribution(
         config['dataset'].get('processed_data_dir'), seed=args.seed)
 

@@ -47,6 +47,28 @@ def test_dryrun_multichip_subprocess():
 
 
 @pytest.mark.slow
+def test_mesh_sampling_subprocess():
+    """Mesh-sharded sampling must equal single-device sampling (per-pocket
+    sharded-copies path AND the stacked multi-pocket fallback)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "")
+                        + " --xla_force_host_platform_device_count=8").strip()
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-m", "tests._mesh_sampling_main"],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                timeout=1500)
+            break
+        except subprocess.TimeoutExpired:
+            if attempt == 1:
+                pytest.fail("mesh sampling run timed out twice")
+    assert out.returncode == 0, (out.stdout[-1000:], out.stderr[-2000:])
+    assert "mesh_sampling OK" in out.stdout
+
+
+@pytest.mark.slow
 def test_dp_invariance_subprocess():
     """mesh=1 and mesh=8 must produce the same loss, updated params, and
     validation metrics on one batch (VERDICT r1 #5)."""
