@@ -159,7 +159,7 @@ def main():
     p.add_argument("--max_batch_size", type=int, default=32)
     p.add_argument("--pocket_atoms", type=int, default=230)
     p.add_argument("--repeats", type=int, default=5)
-    p.add_argument("--pipeline_depth", type=int, default=4,
+    p.add_argument("--pipeline_depth", type=int, default=16,
                    help="calls enqueued back-to-back per repeat (a "
                         "multi-pocket sweep keeps the dispatch queue full; "
                         "1 = pure latency mode)")
