@@ -219,11 +219,14 @@ def main():
         cost = {}
     # XLA's cost analysis counts a while/scan body ONCE regardless of trip
     # count (verified empirically: identical flops for T=10 and T=50), so
-    # scale by the chain length. Flops are fusion-invariant and hence a
-    # sound MFU numerator; "bytes accessed" counts every op's operands
-    # before fusion (a large overestimate of real HBM traffic), so it is
-    # reported as an informational upper bound only.
-    chain_flops = float(cost.get("flops", 0.0)) * model.config.n_timesteps
+    # scale by the number of while iterations — the body holds
+    # `sample_scan_unroll` diffusion steps. Flops are fusion-invariant and
+    # hence a sound MFU numerator; "bytes accessed" counts every op's
+    # operands before fusion (a large overestimate of real HBM traffic), so
+    # it is reported as an informational upper bound only.
+    n_iters = -(-model.config.n_timesteps
+                // max(1, model.config.sample_scan_unroll))
+    chain_flops = float(cost.get("flops", 0.0)) * n_iters
     body_bytes = float(cost.get("bytes accessed", 0.0))
 
     # chains per repeat: the whole dispatch queue (pipeline_depth) times the
