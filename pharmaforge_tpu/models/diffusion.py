@@ -351,11 +351,27 @@ class PharmacophoreDiffusion:
         init_pharm_com = jnp.asarray(init_pharm_com)
 
         # pp neighbor list AND geometry are translation invariant: build both
-        # once from the raw coords and reuse across all T steps
-        pp = build_pp_neighbors(prot_x0, prot_mask, self.cutoffs["pp"],
-                                cfg.pp_k_max)
-        from pharmaforge_tpu.models.edges import gathered_edge_data
-        pp_edge = gathered_edge_data(prot_x0, prot_x0, pp)
+        # once from the raw coords and reuse across all T steps. With pocket
+        # groups the rows within a group are identical, so build on the
+        # group representatives and broadcast — the sort + row-gather are
+        # the two most expensive once-per-call ops at full batch (profiled
+        # ~3.7 ms of a ~45 ms call at 4x30 rows), and a broadcast is pure
+        # sequential HBM writes. Bit-exact: identical inputs per group.
+        from pharmaforge_tpu.models.edges import EdgeData, gathered_edge_data
+        if pocket_group_size > 1:
+            g = b // pocket_group_size
+            reps = lambda a: a.reshape((g, pocket_group_size) + a.shape[1:])[:, 0]
+            rep = lambda a: jnp.repeat(a, pocket_group_size, axis=0)
+            pp_g = build_pp_neighbors(reps(prot_x0), reps(prot_mask),
+                                      self.cutoffs["pp"], cfg.pp_k_max)
+            ed_g = gathered_edge_data(reps(prot_x0), reps(prot_x0), pp_g)
+            pp = type(pp_g)(idx=rep(pp_g.idx), mask=rep(pp_g.mask))
+            pp_edge = EdgeData(mask=rep(ed_g.mask), idx=rep(ed_g.idx),
+                               x_dir=rep(ed_g.x_dir), d_rbf=rep(ed_g.d_rbf))
+        else:
+            pp = build_pp_neighbors(prot_x0, prot_mask, self.cutoffs["pp"],
+                                    cfg.pp_k_max)
+            pp_edge = gathered_edge_data(prot_x0, prot_x0, pp)
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 
