@@ -209,9 +209,11 @@ class PharmacophoreDiffusion:
         prot_x = jnp.asarray(batch.prot_x)
         prot_h = jnp.asarray(batch.prot_h)
 
-        # pp neighbors: translation-invariant, from the raw pocket coords
-        pp = build_pp_neighbors(prot_x, prot_mask, self.cutoffs["pp"],
-                                cfg.pp_k_max)
+        # pp neighbors + geometry: translation-invariant, from the raw
+        # pocket coords (fused selection kernel on TPU, models/edges.py)
+        from pharmaforge_tpu.models.edges import build_pp_edge
+        pp, pp_edge = build_pp_edge(prot_x, prot_mask, self.cutoffs["pp"],
+                                    cfg.pp_k_max)
 
         # remove pharmacophore COM from the complex (pharmacodiff.py:179)
         com = masked_com(x0, pharm_mask)
@@ -243,7 +245,7 @@ class PharmacophoreDiffusion:
 
         h_dyn, x_dyn = self.dynamics.apply(
             {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
-            prot_mask, t, pp, deterministic=not train,
+            prot_mask, t, pp, deterministic=not train, pp_edge=pp_edge,
             rngs={"dropout": k_drop} if train else None)
 
         # losses (pharmacodiff.py:204-232)
@@ -357,21 +359,19 @@ class PharmacophoreDiffusion:
         # the two most expensive once-per-call ops at full batch (profiled
         # ~3.7 ms of a ~45 ms call at 4x30 rows), and a broadcast is pure
         # sequential HBM writes. Bit-exact: identical inputs per group.
-        from pharmaforge_tpu.models.edges import EdgeData, gathered_edge_data
+        from pharmaforge_tpu.models.edges import EdgeData, build_pp_edge
         if pocket_group_size > 1:
             g = b // pocket_group_size
             reps = lambda a: a.reshape((g, pocket_group_size) + a.shape[1:])[:, 0]
             rep = lambda a: jnp.repeat(a, pocket_group_size, axis=0)
-            pp_g = build_pp_neighbors(reps(prot_x0), reps(prot_mask),
-                                      self.cutoffs["pp"], cfg.pp_k_max)
-            ed_g = gathered_edge_data(reps(prot_x0), reps(prot_x0), pp_g)
+            pp_g, ed_g = build_pp_edge(reps(prot_x0), reps(prot_mask),
+                                       self.cutoffs["pp"], cfg.pp_k_max)
             pp = type(pp_g)(idx=rep(pp_g.idx), mask=rep(pp_g.mask))
             pp_edge = EdgeData(mask=rep(ed_g.mask), idx=rep(ed_g.idx),
                                x_dir=rep(ed_g.x_dir), d_rbf=rep(ed_g.d_rbf))
         else:
-            pp = build_pp_neighbors(prot_x0, prot_mask, self.cutoffs["pp"],
-                                    cfg.pp_k_max)
-            pp_edge = gathered_edge_data(prot_x0, prot_x0, pp)
+            pp, pp_edge = build_pp_edge(prot_x0, prot_mask,
+                                        self.cutoffs["pp"], cfg.pp_k_max)
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 

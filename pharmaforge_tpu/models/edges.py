@@ -113,6 +113,29 @@ def gathered_edge_data(x_dst, x_src, nbrs: NeighborList) -> EdgeData:
     return EdgeData(mask=nbrs.mask, idx=nbrs.idx, x_dir=x_dir, d_rbf=d_rbf)
 
 
+def build_pp_edge(prot_x, prot_mask, cutoff: float, k_max: int
+                  ) -> "tuple[NeighborList, EdgeData]":
+    """Prot-prot neighbor list + edge geometry in one place.
+
+    Selection runs as the plain XLA path (one 256-wide top_k sort) and the
+    coordinate gather as a one-hot matmul. The Pallas `knn_select` kernel
+    also supports this edge type (exclude_self + cutoff, tested in
+    tests/test_knn_select.py) but MEASURED SLOWER here: at dst width 256
+    the k=16 VMEM selection passes cost more than the single sort (269.6
+    vs 295.1 train steps/sec on v5e), the opposite of the pf regime
+    (dst width 8) where the kernel wins. Keep the sort for pp unless the
+    dst axis shrinks."""
+    from pharmaforge_tpu.ops.neighbors import (
+        build_pp_neighbors,
+        gather_neighbor_coords,
+    )
+    nbrs = build_pp_neighbors(prot_x, prot_mask, cutoff, k_max)
+    x_g = gather_neighbor_coords(prot_x, nbrs.idx)
+    x_dir, d_rbf = _pair_geometry(prot_x, x_g)
+    return nbrs, EdgeData(mask=nbrs.mask, idx=nbrs.idx, x_dir=x_dir,
+                          d_rbf=d_rbf)
+
+
 def knn_neighbor_list(dst_x, dst_mask, src_x, src_mask, k: int) -> NeighborList:
     """k-nearest valid srcs per dst as a gathered list (torch_cluster `knn`
     semantics; fewer than k valid srcs -> masked slots). Runs per diffusion

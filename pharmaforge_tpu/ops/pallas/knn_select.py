@@ -80,7 +80,8 @@ def _select_body(d2, qx, qy, qz, k: int, p: int):
 
 
 def _kernel(px_ref, py_ref, pz_ref, pm_ref, qx_ref, qy_ref, qz_ref, qm_ref,
-            idx_ref, d_ref, gx_ref, gy_ref, gz_ref, *, k: int, p: int):
+            idx_ref, d_ref, gx_ref, gy_ref, gz_ref, *, k: int, p: int,
+            exclude_self: bool, cutoff2: float):
     px, py, pz = px_ref[...], py_ref[...], pz_ref[...]     # [TB, F]
     pm = pm_ref[...]
     qx, qy, qz = qx_ref[...], qy_ref[...], qz_ref[...]     # [TB, P]
@@ -91,6 +92,14 @@ def _kernel(px_ref, py_ref, pz_ref, pm_ref, qx_ref, qy_ref, qz_ref, qm_ref,
     dz = pz[:, :, None] - qz[:, None, :]
     d2 = dx * dx + dy * dy + dz * dz                        # [TB, F, P]
     valid = (pm[:, :, None] * qm[:, None, :]) > 0.0
+    if exclude_self:
+        # dst set IS the src set (prot-prot): drop the diagonal. The dst
+        # axis is untiled, so its iota is the global src index.
+        rows = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        valid = valid & (rows != cols)
+    if cutoff2 > 0.0:
+        valid = valid & (d2 < cutoff2)
     d2 = jnp.where(valid, d2, _BIG)
 
     passes = _select_body(d2, qx[:, None, :], qy[:, None, :], qz[:, None, :],
@@ -104,7 +113,8 @@ def _kernel(px_ref, py_ref, pz_ref, pm_ref, qx_ref, qy_ref, qz_ref, qm_ref,
 
 
 def knn_select_reference(pharm_x: Array, pharm_mask: Array,
-                         prot_x: Array, prot_mask: Array, k: int
+                         prot_x: Array, prot_mask: Array, k: int,
+                         exclude_self: bool = False, cutoff: float = 0.0
                          ) -> Tuple[Array, Array, Array]:
     """jnp twin of the kernel: (idx [B,F,K] i32, dist [B,F,K] f32,
     gathered prot coords [B,F,K,3] f32). Distance arithmetic is component-
@@ -114,6 +124,11 @@ def knn_select_reference(pharm_x: Array, pharm_mask: Array,
           + diff[..., 2] * diff[..., 2])
     valid = (pharm_mask.astype(jnp.float32)[:, :, None]
              * prot_mask.astype(jnp.float32)[:, None, :]) > 0.0
+    if exclude_self:
+        n = d2.shape[-1]
+        valid = valid & ~jnp.eye(n, dtype=bool)
+    if cutoff > 0.0:
+        valid = valid & (d2 < cutoff * cutoff)
     d2 = jnp.where(valid, d2, _BIG)
     qx, qy, qz = (prot_x[..., c][:, None, :] for c in range(3))
     passes = _select_body(d2, qx, qy, qz, k, d2.shape[-1])
@@ -127,24 +142,34 @@ def knn_select_reference(pharm_x: Array, pharm_mask: Array,
 
 def knn_select(pharm_x: Array, pharm_mask: Array,
                prot_x: Array, prot_mask: Array, k: int,
-               tile_b: int = 0, interpret: bool = False
+               tile_b: int = 0, interpret: bool = False,
+               exclude_self: bool = False, cutoff: float = 0.0
                ) -> Tuple[Array, Array, Array]:
     """Fused selection. Same contract as `knn_select_reference`.
 
-    tile_b=0 picks the whole batch as one tile when it fits VMEM (a
-    [B, F, P] fp32 grid plus a few planes) — grid-instance overhead
-    outweighs tiling benefits at these tiny shapes."""
+    tile_b=0 picks the largest batch tile whose [TILE_B, F, P] fp32
+    working set (grid + carried copy + pass temporaries, ~8x the grid)
+    stays under half of VMEM — whole-batch at pf shapes, a few rows at
+    prot-prot shapes. Grid-instance overhead outweighs finer tiling at
+    these sizes."""
     from jax.experimental import pallas as pl
 
     b, f = pharm_mask.shape
     p = prot_mask.shape[1]
     k = min(k, p)
     if tile_b <= 0:
-        # whole-batch tile while the working set stays well under VMEM
-        tile_b = b if b * f * p * 4 * 8 < 8 * 1024 * 1024 else 8
+        budget = 8 * 1024 * 1024
+        tile_b = max(1, min(b, budget // max(f * p * 4 * 8, 1)))
     tile_b = min(tile_b, b)
-    if b % tile_b:
-        tile_b = 1
+    if tile_b < b:
+        # Mosaic block constraint: a partial second-to-minor block dim must
+        # be a multiple of 8 (a full one may be anything). Pick the largest
+        # multiple of 8 that divides b and fits the budget; whole batch if
+        # none does.
+        legal = [d for d in range(8, b, 8) if b % d == 0 and d <= tile_b]
+        tile_b = max(legal) if legal else (8 if b % 8 == 0 else b)
+    while b % tile_b:
+        tile_b -= 1
 
     args = [pharm_x[..., 0], pharm_x[..., 1], pharm_x[..., 2],
             pharm_mask.astype(jnp.float32),
@@ -158,7 +183,8 @@ def knn_select(pharm_x: Array, pharm_mask: Array,
     out_spec = pl.BlockSpec((tile_b, f, k), lambda i: (i, 0, 0))
 
     idx, dist, gx, gy, gz = pl.pallas_call(
-        functools.partial(_kernel, k=k, p=p),
+        functools.partial(_kernel, k=k, p=p, exclude_self=exclude_self,
+                          cutoff2=float(cutoff) * float(cutoff)),
         grid=grid,
         in_specs=[pharm_spec] * 4 + [prot_spec] * 4,
         out_specs=[out_spec] * 5,

@@ -116,3 +116,83 @@ def test_bundle_identical_with_and_without_kernel(rng, monkeypatch):
                 continue
             np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
                                        rtol=1e-6, atol=1e-7, err_msg=name)
+
+
+# ---------------------------------------------------------------- pp variant
+
+def make_pp_inputs(rng, b=3, p=48):
+    x = rng.normal(scale=4.0, size=(b, p, 3)).astype(np.float32)
+    mask = np.ones((b, p), bool)
+    mask[1, 40:] = False
+    # a dense cluster so the radius cutoff actually truncates
+    x[0, :10] *= 0.05
+    return jnp.asarray(x), jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("k", [4, 16])
+def test_pp_reference_matches_radius_list(rng, k):
+    """exclude_self + cutoff variant == radius_neighbor_list + coord gather."""
+    from pharmaforge_tpu.ops.neighbors import radius_neighbor_list
+    x, mask = make_pp_inputs(rng)
+    cutoff = 3.5
+    idx_r, d_r, xg_r = knn_select_reference(x, mask, x, mask, k,
+                                            exclude_self=True, cutoff=cutoff)
+    nbrs = radius_neighbor_list(x, mask, cutoff, k)
+    np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(nbrs.idx))
+    np.testing.assert_array_equal(np.asarray(d_r < _BIG),
+                                  np.asarray(nbrs.mask))
+    np.testing.assert_allclose(
+        np.asarray(xg_r), np.asarray(gather_neighbor_coords(x, nbrs.idx)))
+
+
+def test_pp_kernel_interpret_matches_reference(rng):
+    x, mask = make_pp_inputs(rng)
+    idx_k, d_k, xg_k = knn_select(x, mask, x, mask, 16, interpret=True,
+                                  exclude_self=True, cutoff=3.5)
+    idx_r, d_r, xg_r = knn_select_reference(x, mask, x, mask, 16,
+                                            exclude_self=True, cutoff=3.5)
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_r))
+    # the selected-distance VALUES may differ by an fma contraction between
+    # the interpret-mode lowering and the jnp twin; selection (indices,
+    # masks) and the gathered coords are what the model consumes, and those
+    # are exact
+    np.testing.assert_allclose(np.asarray(d_k), np.asarray(d_r), rtol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(d_k < _BIG), np.asarray(d_r < _BIG))
+    np.testing.assert_allclose(np.asarray(xg_k), np.asarray(xg_r))
+
+
+def test_pp_kernel_interpret_tiled(rng):
+    """Tiled grid (tile_b < b) must match the whole-batch result."""
+    x, mask = make_pp_inputs(rng, b=4)
+    a = knn_select(x, mask, x, mask, 8, interpret=True, tile_b=2,
+                   exclude_self=True, cutoff=3.5)
+    bf = knn_select(x, mask, x, mask, 8, interpret=True, tile_b=4,
+                    exclude_self=True, cutoff=3.5)
+    for u, v in zip(a, bf):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+def test_build_pp_edge_kernel_vs_plain(rng, monkeypatch):
+    """build_pp_edge: kernel path (interpret) == plain path, all fields."""
+    import pharmaforge_tpu.ops.pallas as pk
+    import pharmaforge_tpu.ops.pallas.knn_select as ks
+    from pharmaforge_tpu.models.edges import build_pp_edge
+
+    x, mask = make_pp_inputs(rng)
+    plain_nbrs, plain_ed = build_pp_edge(x, mask, 3.5, 16)
+
+    real = ks.knn_select
+    monkeypatch.setattr(pk, "edge_kernel_enabled", lambda: True)
+    monkeypatch.setattr(ks, "knn_select",
+                        lambda *a, **kw: real(*a, **{**kw, "interpret": True}))
+    k_nbrs, k_ed = build_pp_edge(x, mask, 3.5, 16)
+
+    np.testing.assert_array_equal(np.asarray(k_nbrs.idx),
+                                  np.asarray(plain_nbrs.idx))
+    np.testing.assert_array_equal(np.asarray(k_nbrs.mask),
+                                  np.asarray(plain_nbrs.mask))
+    np.testing.assert_allclose(np.asarray(k_ed.x_dir),
+                               np.asarray(plain_ed.x_dir))
+    np.testing.assert_allclose(np.asarray(k_ed.d_rbf),
+                               np.asarray(plain_ed.d_rbf))
