@@ -176,11 +176,24 @@ class EdgeMessageChain(nn.Module):
 
     @nn.compact
     def __call__(self, h_src: Array, v_src: Array, edge: "EdgeData",
-                 src_vectors_zero: bool = False):
+                 src_vectors_zero: bool = False,
+                 return_table: bool = False,
+                 table_override: Optional[Array] = None,
+                 src_group_size: int = 1):
         """h_src [B,P,S], v_src [B,P,V,3] (ignored when src_vectors_zero),
         edge carries idx/mask + unit directions + RBF. Returns per-edge
         (scalars [B,Nd,M,S], vectors) where vectors is a dense
-        [B,Nd,M,V,3] tensor, or `FactoredVectors` when src_vectors_zero."""
+        [B,Nd,M,V,3] tensor, or `FactoredVectors` when src_vectors_zero.
+
+        `return_table` stops after the per-NODE precompute and returns the
+        source table the gather would consume — the handle for hoisting the
+        t-dependent-but-coordinate-independent half of the chain out of a
+        sampling scan (see dynamics.precompute_sampling_tables).
+        `table_override` injects such a table back (skipping h_src/v_src
+        entirely); with `src_group_size` = C > 1 the table is group-level
+        ([B/C, P, D]) while `edge.idx` stays per-copy — the gather folds the
+        C copies into its destination axis, so identical pockets share one
+        table instead of C redundant per-node matmuls."""
         from pharmaforge_tpu.ops.geometry import norm_no_nan
 
         s, v = self.scalar_size, self.vector_size
@@ -197,7 +210,6 @@ class EdgeMessageChain(nn.Module):
                 else arrs
 
         (wh, wu, (w1, b1), (wg, bg)) = layer_params[0]
-        h_src, = cast(h_src)
         wh, wu, w1, b1, wg, bg = cast(wh, wu, w1, b1, wg, bg)
 
         w1_h = w1[:s]                       # src-scalar rows
@@ -207,17 +219,23 @@ class EdgeMessageChain(nn.Module):
         wh0u = wh0 @ wu                     # [V]
 
         # ---- per-NODE precompute ------------------------------------------
-        pre_s = h_src @ w1_h                                    # [B,P,S]
-        if not src_vectors_zero:
-            v_in, = cast(v_src)
-            vh_pre = jnp.einsum("...vc,vh->...hc", v_in, wh[1:])
-            vu_pre = jnp.einsum("...hc,hu->...uc", vh_pre, wu)
-            b, p = h_src.shape[:2]
-            table = jnp.concatenate(
-                [pre_s, vh_pre.reshape(b, p, dim_h * 3),
-                 vu_pre.reshape(b, p, v * 3)], axis=-1)
+        if table_override is not None:
+            table = table_override
         else:
-            table = pre_s
+            h_src, = cast(h_src)
+            pre_s = h_src @ w1_h                                # [B,P,S]
+            if not src_vectors_zero:
+                v_in, = cast(v_src)
+                vh_pre = jnp.einsum("...vc,vh->...hc", v_in, wh[1:])
+                vu_pre = jnp.einsum("...hc,hu->...uc", vh_pre, wu)
+                b, p = h_src.shape[:2]
+                table = jnp.concatenate(
+                    [pre_s, vh_pre.reshape(b, p, dim_h * 3),
+                     vu_pre.reshape(b, p, v * 3)], axis=-1)
+            else:
+                table = pre_s
+        if return_table:
+            return table
 
         # ---- gather / broadcast to edges ----------------------------------
         from pharmaforge_tpu.models.edges import (PreGatheredEdgeData,
@@ -233,11 +251,23 @@ class EdgeMessageChain(nn.Module):
             g = jnp.broadcast_to(table[:, :, None],
                                  (table.shape[0], f, k, table.shape[-1]))
         elif edge.idx is not None:
-            g = _gather_rows(table.astype(jnp.float32), edge.idx,
+            idx = edge.idx
+            if src_group_size > 1:
+                # per-copy dst rows gather from one group-level table: fold
+                # the copies into the gather's destination axis
+                bb, nd0, k0 = idx.shape
+                gg = bb // src_group_size
+                idx = idx.reshape(gg, src_group_size * nd0, k0)
+            g = _gather_rows(table.astype(jnp.float32), idx,
                              self.compute_dtype)
+            if src_group_size > 1:
+                g = g.reshape(bb, nd0, k0, g.shape[-1])
             if dtype is not None:
                 g = g.astype(dtype)
         else:
+            if src_group_size > 1:
+                raise ValueError("src_group_size > 1 requires a gathered "
+                                 "edge layout (edge.idx)")
             nd = edge.mask.shape[1]
             g = jnp.broadcast_to(table[:, None],
                                  (table.shape[0], nd) + table.shape[1:])
@@ -556,7 +586,11 @@ class GVPMultiEdgeConv(nn.Module):
                  update_ntypes: tuple = ("pharm", "prot"),
                  src_vectors_zero: bool = False,
                  pp_src_group_size: int = 1,
-                 prot_dst_idx: Optional[Array] = None) -> Dict[str, NodeData]:
+                 prot_dst_idx: Optional[Array] = None,
+                 pp_precomputed: Optional[tuple] = None,
+                 pf_table: Optional[Array] = None,
+                 pf_src_group_size: int = 1,
+                 prot_feats_group_size: int = 1) -> Dict[str, NodeData]:
         """`bundle` carries per-edge-type adjacency + geometry precomputed
         once per denoiser forward (models/edges.py) — gathered neighbor
         lists where the source fan-in is narrow (pp, knn-mode pf), full
@@ -591,7 +625,20 @@ class GVPMultiEdgeConv(nn.Module):
         computed once per group and broadcast to the copies, eliminating the
         dominant edge type's per-copy work. Only valid together with
         `src_vectors_zero` (the first conv), where the prot node state is
-        still copy-independent."""
+        still copy-independent.
+
+        Sampling-scan table injection (dynamics.precompute_sampling_tables):
+        `pp_precomputed` = (s_agg, v_agg, cnt) replaces the pp message chain
+        + aggregation with aggregates computed OUTSIDE the scan (pre-norm,
+        at pp-group level when pp_src_group_size > 1). `pf_table` +
+        `pf_src_group_size` inject the pf chain's per-node source table the
+        same way (see EdgeMessageChain.table_override).
+        `prot_feats_group_size` = C declares node_feats['prot'] scalars and
+        vectors are GROUP-LEVEL [B/C, P, ...] (per-copy coords/masks stay
+        full batch); only valid with a compact prot tail, whose residual
+        gather then folds the copies into the gather — compact coords come
+        back as zeros, which is safe because downstream convs read geometry
+        from the precomputed bundle, never from NodeData coords."""
         use_mean, norm_values = self._norm_mode()
         dropout = GVPDropout(self.dropout, name="dropout")
 
@@ -613,34 +660,67 @@ class GVPMultiEdgeConv(nn.Module):
             ed = bundle[ename]
 
             group = pp_src_group_size if ename == "pp" else 1
-            if group > 1:
+            b_full = node_masks[dst_nt if dst_nt == "prot" else "pharm"].shape[0]
+            g = b_full // group if group > 1 else b_full
+            pp_pre = ename == "pp" and pp_precomputed is not None
+            if group > 1 and not pp_pre:
                 if not src_vectors_zero:
                     raise ValueError(
                         "pp_src_group_size > 1 requires src_vectors_zero: "
                         "after the first conv the prot state is per-copy")
-                b_full = h_src.shape[0]
                 if b_full % group:
                     raise ValueError(
                         f"batch {b_full} not divisible by pocket group "
                         f"size {group}")
-                g = b_full // group
 
                 def _first(a):
                     return a.reshape((g, group) + a.shape[1:])[:, 0]
 
                 from pharmaforge_tpu.models.edges import EdgeData
-                h_src = _first(h_src)
-                v_src = _first(v_src)
+                if h_src.shape[0] != g:
+                    h_src = _first(h_src)
+                    v_src = _first(v_src)
                 ed = EdgeData(mask=_first(ed.mask), idx=_first(ed.idx),
                               x_dir=_first(ed.x_dir), d_rbf=_first(ed.d_rbf))
             emask = ed.mask
 
             compact = prot_dst_idx is not None and dst_nt == "prot"
-            s_msg, v_msg = chain(h_src, v_src, ed,
-                                 src_vectors_zero=src_vectors_zero)
-            # aggregate in fp32 regardless of the chain's compute dtype
             from pharmaforge_tpu.models.edges import ReverseEdgeData
-            if isinstance(ed, ReverseEdgeData):
+
+            def _compact_prot(s_agg, v_agg, cnt):
+                # global edge count first (for dynamic norm), then pull
+                # the per-atom aggregates onto the compact slot axis
+                pm = node_masks["prot"].astype(jnp.float32)
+                if group > 1:
+                    pm = pm.reshape(g, group, -1)[:, 0]
+                cnt_sum = jnp.sum(cnt * pm, axis=1)
+                if group > 1:
+                    cnt = jnp.broadcast_to(
+                        cnt_sum[:, None], (g, group)).reshape(b_full)
+                else:
+                    cnt = cnt_sum  # [B] global
+                n_v = v_agg.shape[-2]
+                payload = jnp.concatenate(
+                    [s_agg, v_agg.reshape(v_agg.shape[0],
+                                          v_agg.shape[1], n_v * 3)],
+                    axis=-1)
+                gathered = _gather_at(payload, prot_dst_idx,
+                                      group if group > 1 else 1)
+                s_dim = s_agg.shape[-1]
+                s_agg = gathered[..., :s_dim]
+                v_agg = gathered[..., s_dim:].reshape(
+                    gathered.shape[0], gathered.shape[1], n_v, 3)
+                return s_agg, v_agg, cnt
+
+            if pp_pre:
+                # aggregates hoisted out of the sampling scan (group-level
+                # when group > 1, pre-norm) — skip the chain entirely
+                s_agg, v_agg, cnt = pp_precomputed
+                if compact:
+                    s_agg, v_agg, cnt = _compact_prot(s_agg, v_agg, cnt)
+            elif isinstance(ed, ReverseEdgeData):
+                s_msg, v_msg = chain(h_src, v_src, ed,
+                                     src_vectors_zero=src_vectors_zero)
                 if compact:
                     s_agg, v_agg, cnt = _compact_scatter_aggregate(
                         s_msg, v_msg, ed, mean=use_mean)  # cnt: [B] global
@@ -648,33 +728,18 @@ class GVPMultiEdgeConv(nn.Module):
                     s_agg, v_agg, cnt = _scatter_aggregate(s_msg, v_msg, ed,
                                                            mean=use_mean)
             else:
+                kw = {}
+                if ename == "pf" and pf_table is not None:
+                    kw = dict(table_override=pf_table,
+                              src_group_size=pf_src_group_size)
+                s_msg, v_msg = chain(h_src, v_src, ed,
+                                     src_vectors_zero=src_vectors_zero, **kw)
                 if not isinstance(v_msg, FactoredVectors):
                     v_msg = v_msg.astype(jnp.float32)
                 s_agg, v_agg, cnt = _aggregate(
                     s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
                 if compact:
-                    # global edge count first (for dynamic norm), then pull
-                    # the per-atom aggregates onto the compact slot axis
-                    pm = node_masks["prot"].astype(jnp.float32)
-                    if group > 1:
-                        pm = pm.reshape(g, group, -1)[:, 0]
-                    cnt_sum = jnp.sum(cnt * pm, axis=1)
-                    if group > 1:
-                        cnt = jnp.broadcast_to(
-                            cnt_sum[:, None], (g, group)).reshape(b_full)
-                    else:
-                        cnt = cnt_sum  # [B] global
-                    n_v = v_agg.shape[-2]
-                    payload = jnp.concatenate(
-                        [s_agg, v_agg.reshape(v_agg.shape[0],
-                                              v_agg.shape[1], n_v * 3)],
-                        axis=-1)
-                    gathered = _gather_at(payload, prot_dst_idx,
-                                          group if group > 1 else 1)
-                    s_dim = s_agg.shape[-1]
-                    s_agg = gathered[..., :s_dim]
-                    v_agg = gathered[..., s_dim:].reshape(
-                        gathered.shape[0], gathered.shape[1], n_v, 3)
+                    s_agg, v_agg, cnt = _compact_prot(s_agg, v_agg, cnt)
 
             if group > 1 and not compact:
                 def _bcast(a):
@@ -702,16 +767,33 @@ class GVPMultiEdgeConv(nn.Module):
                 # pull the residual-stream rows onto the compact slot axis
                 bb, p = full_mask.shape
                 n_v = v.shape[-2]
-                payload = jnp.concatenate(
-                    [h, x, v.reshape(bb, p, n_v * 3), full_mask[..., None]],
-                    axis=-1)
-                gathered = _gather_at(payload, prot_dst_idx)
-                s_dim = h.shape[-1]
-                h = gathered[..., :s_dim]
-                x = gathered[..., s_dim:s_dim + 3]
-                v = gathered[..., s_dim + 3:-1].reshape(
-                    bb, prot_dst_idx.shape[1], n_v, 3)
-                mask = gathered[..., -1]
+                if prot_feats_group_size > 1:
+                    # scalars/vectors are group-level: gather group-folded;
+                    # coords are never read downstream of a compact tail
+                    # (geometry lives in the bundle), so return zeros
+                    gsz = prot_feats_group_size
+                    mask_g = full_mask.reshape(bb // gsz, gsz, p)[:, 0]
+                    payload = jnp.concatenate(
+                        [h, v.reshape(h.shape[0], p, n_v * 3),
+                         mask_g[..., None]], axis=-1)
+                    gathered = _gather_at(payload, prot_dst_idx, gsz)
+                    s_dim = h.shape[-1]
+                    h = gathered[..., :s_dim]
+                    v = gathered[..., s_dim:-1].reshape(
+                        bb, prot_dst_idx.shape[1], n_v, 3)
+                    mask = gathered[..., -1]
+                    x = jnp.zeros((bb, prot_dst_idx.shape[1], 3), h.dtype)
+                else:
+                    payload = jnp.concatenate(
+                        [h, x, v.reshape(bb, p, n_v * 3),
+                         full_mask[..., None]], axis=-1)
+                    gathered = _gather_at(payload, prot_dst_idx)
+                    s_dim = h.shape[-1]
+                    h = gathered[..., :s_dim]
+                    x = gathered[..., s_dim:s_dim + 3]
+                    v = gathered[..., s_dim + 3:-1].reshape(
+                        bb, prot_dst_idx.shape[1], n_v, 3)
+                    mask = gathered[..., -1]
             else:
                 mask = full_mask
             s_msg, v_msg = agg[ntype]

@@ -110,6 +110,21 @@ class DiffusionConfig:
     # ~0.4 ms step, and unrolling only grows the program. Left as a knob
     # because the tradeoff may flip at much smaller step sizes.
     sample_scan_unroll: int = 1
+    # hoist the (timestep, pocket)-only conv0 work — prot encoder, the whole
+    # prot-prot message chain, the pf chain's source table — out of the
+    # reverse-chain scan into ONE batched precompute over all T steps
+    # (models/dynamics.py::precompute_sampling_tables). Numerically
+    # equivalent (pinned by tests/test_step_tables.py). Measured on v5e at
+    # the bench workload (4 pockets x 30 copies, T=100): ~3-5% faster in
+    # single-call LATENCY mode but ~5% SLOWER in pipelined throughput mode
+    # (scripts/ab_step_tables.py; the per-step work it removes was already
+    # hidden by dispatch pipelining, while the per-step table slices break
+    # some XLA fusion). Default off — the headline sweep/serving regime is
+    # pipelined; flip on for latency-sensitive single-shot generation.
+    # Costs ~T x G x P x (3S + 3V) floats of HBM for the tables, so it
+    # auto-disables above `precompute_table_budget` bytes.
+    precompute_step_tables: bool = False
+    precompute_table_budget: int = 4 << 30
 
     @classmethod
     def from_config(cls, config: dict) -> "DiffusionConfig":
@@ -369,9 +384,11 @@ class PharmacophoreDiffusion:
             pp = type(pp_g)(idx=rep(pp_g.idx), mask=rep(pp_g.mask))
             pp_edge = EdgeData(mask=rep(ed_g.mask), idx=rep(ed_g.idx),
                                x_dir=rep(ed_g.x_dir), d_rbf=rep(ed_g.d_rbf))
+            prot_h_g, prot_mask_g, pp_edge_g = reps(prot_h), reps(prot_mask), ed_g
         else:
             pp, pp_edge = build_pp_edge(prot_x0, prot_mask,
                                         self.cutoffs["pp"], cfg.pp_k_max)
+            prot_h_g, prot_mask_g, pp_edge_g = prot_h, prot_mask, pp_edge
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 
@@ -387,6 +404,26 @@ class PharmacophoreDiffusion:
         gamma = self.gamma_table
         n_t = cfg.n_timesteps
 
+        # hoist the (t, pocket)-only conv0 work out of the scan: one batched
+        # pass over all T steps instead of T tiny per-step launches
+        steps = jnp.arange(n_t - 1, -1, -1)
+        tables = None
+        from pharmaforge_tpu.models.dynamics import PharmRecDynamics
+        if cfg.precompute_step_tables and isinstance(self.dynamics,
+                                                     PharmRecDynamics):
+            g_rows = prot_mask_g.shape[0]
+            s_dim, v_dim = cfg.n_hidden_scalars, cfg.vector_size
+            table_bytes = n_t * g_rows * prot_mask_g.shape[1] * (
+                4 * (2 * s_dim + 3 * v_dim + 1)
+                + (2 if cfg.compute_dtype == "bfloat16" else 4) * s_dim)
+            if table_bytes <= cfg.precompute_table_budget:
+                from pharmaforge_tpu.models.dynamics import \
+                    precompute_sampling_tables
+                t_values = (steps + 1).astype(jnp.float32) / n_t
+                tables = precompute_sampling_tables(
+                    self.dynamics, params, prot_h_g, prot_mask_g,
+                    pp_edge_g, t_values)
+
         def frame(x_t, h_t, prot_x):
             """Trajectory frame in the initial pocket frame
             (pharmacodiff.py:360-378)."""
@@ -396,7 +433,7 @@ class PharmacophoreDiffusion:
                    h_t * cfg.pharm_feat_norm_constant
 
         def step(carry, scan_in):
-            s, step_noise = scan_in
+            s, step_noise, step_tables = scan_in
             x_t, h_t, prot_x, key = carry
             key, k_px, k_ph = jax.random.split(key, 3)
 
@@ -408,10 +445,12 @@ class PharmacophoreDiffusion:
             sigma_t = sigma_of_gamma(gamma_t)
 
             t_arr = jnp.full((b,), (s + 1).astype(jnp.float32) / n_t)
+            kw = {} if step_tables is None else dict(
+                step_tables=tuple(step_tables))
             pred_h, pred_x = self.dynamics.apply(
                 {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
                 prot_mask, t_arr, pp, deterministic=True, pp_edge=pp_edge,
-                pocket_group_size=pocket_group_size)
+                pocket_group_size=pocket_group_size, **kw)
 
             var_terms = sigma2_tgs / alpha_tgs / sigma_t
             sigma = sigma_tgs * sigma_s / sigma_t
@@ -448,12 +487,11 @@ class PharmacophoreDiffusion:
                 return carry, frame(x_t, h_t, prot_x)
             return carry, None
 
-        steps = jnp.arange(n_t - 1, -1, -1)
         if noise is not None and "pos" in noise:
             scan_in = (steps, (jnp.asarray(noise["pos"]),
-                               jnp.asarray(noise["feat"])))
+                               jnp.asarray(noise["feat"])), tables)
         else:
-            scan_in = (steps, None)
+            scan_in = (steps, None, tables)
         (x_t, h_t, prot_x, _), traj = jax.lax.scan(
             step, (x_t, h_t, prot_x, k_chain), scan_in,
             unroll=max(1, cfg.sample_scan_unroll))

@@ -25,7 +25,7 @@ computed once per batch and reused across all diffusion steps).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -36,6 +36,91 @@ from pharmaforge_tpu.models.gvp import GVP, GVPChain, TorchLinear
 from pharmaforge_tpu.ops.neighbors import NeighborList
 
 Array = jnp.ndarray
+
+
+class SamplingTables(NamedTuple):
+    """conv0 work that depends only on (timestep, pocket) — not on the noisy
+    pharm coordinates — evaluated for ALL T chain steps in one batched pass
+    before a sampling scan (leading axis T, in scan order; group level
+    [T, G, P, ...] where G = batch / pocket_group_size):
+
+    enc:      prot scalar-encoder output (masked)          [T, G, P, S]
+    pp_s/v:   conv0 prot-prot message aggregates, pre-norm [T, G, P, S] /
+              [T, G, P, V, 3] (pp adjacency + geometry are translation
+              invariant and the prot state entering conv0 is (t, pocket)-
+              only, so the whole pp chain hoists out of the scan)
+    pp_cnt:   per-dst valid-edge counts (dynamic message norm) [T, G, P]
+    pf_table: conv0 pf message chain's per-node source table  [T, G, P, S]
+              (knn mode only; None in radius mode)
+    """
+
+    enc: Array
+    pp_s: Array
+    pp_v: Array
+    pp_cnt: Array
+    pf_table: Optional[Array]
+
+
+def precompute_sampling_tables(dynamics: "PharmRecDynamics", params,
+                               prot_h: Array, prot_mask: Array,
+                               pp_edge: EdgeData,
+                               t_values: Array) -> SamplingTables:
+    """Build `SamplingTables` for a reverse chain.
+
+    `prot_h`/`prot_mask`/`pp_edge` are at pocket-group level [G, P, ...];
+    `t_values` [T] are the chain's timesteps in scan order. The T axis is
+    folded into the batch axis, so the same module code that runs per step
+    inside the scan runs ONCE here over T-fold larger operands — the op
+    overhead that dominates the tiny per-step launches amortizes into a few
+    large MXU ops (see docs/performance.md).
+    """
+    t_count = t_values.shape[0]
+    g, p = prot_mask.shape
+    s_dim = dynamics.n_hidden_scalars
+
+    def tile(a):
+        return jnp.broadcast_to(a[None], (t_count,) + a.shape).reshape(
+            (t_count * g,) + a.shape[1:])
+
+    def unflat(a):
+        return a.reshape((t_count, g) + a.shape[1:])
+
+    t_col = jnp.broadcast_to(t_values[:, None, None, None],
+                             (t_count, g, p, 1)).reshape(t_count * g, p, 1)
+    enc_in = jnp.concatenate([tile(prot_h), t_col], axis=-1)
+    enc = ScalarEncoder(s_dim).apply({"params": params["prot_encoder"]},
+                                     enc_in)
+    enc = enc * tile(prot_mask)[..., None]
+
+    from pharmaforge_tpu.models.conv import EdgeMessageChain, _aggregate
+    chain = EdgeMessageChain(scalar_size=s_dim,
+                             vector_size=dynamics.vector_size,
+                             n_message_gvps=dynamics.n_message_gvps,
+                             compute_dtype=dynamics.compute_dtype)
+
+    # conv0's pp chain exists only when conv0 updates prot (with a pruned
+    # prot tail and n_convs == 1 the single conv is pharm-only)
+    s_agg = v_agg = cnt = None
+    pp_params = params["conv_layers_0"].get("edge_message_fns_prot_pp_prot")
+    if pp_params is not None:
+        ed = EdgeData(mask=tile(pp_edge.mask), idx=tile(pp_edge.idx),
+                      x_dir=tile(pp_edge.x_dir), d_rbf=tile(pp_edge.d_rbf))
+        s_msg, v_msg = chain.apply({"params": pp_params}, enc, None, ed,
+                                   src_vectors_zero=True)
+        use_mean, _ = GVPMultiEdgeConv(
+            message_norm=dynamics.message_norm)._norm_mode()
+        s_agg, v_agg, cnt = _aggregate(s_msg.astype(jnp.float32), v_msg,
+                                       ed.mask, mean=use_mean)
+        s_agg, v_agg, cnt = unflat(s_agg), unflat(v_agg), unflat(cnt)
+
+    pf_table = None
+    if dynamics.pf_k and dynamics.pf_k > 0:
+        pf_params = params["conv_layers_0"]["edge_message_fns_prot_pf_pharm"]
+        pf_table = chain.apply({"params": pf_params}, enc, None, None,
+                               src_vectors_zero=True, return_table=True)
+        pf_table = unflat(pf_table)
+    return SamplingTables(enc=unflat(enc), pp_s=s_agg, pp_v=v_agg,
+                          pp_cnt=cnt, pf_table=pf_table)
 
 
 class NoisePredictionBlock(nn.Module):
@@ -130,7 +215,8 @@ class PharmRecDynamics(nn.Module):
                  pp_nbrs: NeighborList,
                  deterministic: bool = True,
                  pp_edge: EdgeData = None,
-                 pocket_group_size: int = 1) -> Tuple[Array, Array]:
+                 pocket_group_size: int = 1,
+                 step_tables: Optional[tuple] = None) -> Tuple[Array, Array]:
         """`pp_edge` optionally injects the precomputed prot-prot EdgeData
         (translation invariant, so the sampling chain computes it once for
         all T steps instead of once per step).
@@ -141,26 +227,69 @@ class PharmRecDynamics(nn.Module):
         pharmacodiff.py:540-556). The first conv's prot-prot messages —
         which depend only on (prot_h, t, pp geometry) because the vector
         channels start at zero — are then computed once per group instead
-        of once per copy. Numerically identical to the ungrouped path."""
+        of once per copy. Numerically identical to the ungrouped path.
+
+        `step_tables` injects one T-slice of `SamplingTables` (the
+        (t, pocket)-only conv0 work hoisted out of a sampling scan):
+        (enc [G,P,S], pp_s [G,P,S], pp_v [G,P,V,3], pp_cnt [G,P],
+        pf_table [G,P,S] or None) at pocket-group level
+        G = b / pocket_group_size. The prot encoder and conv0's pp message
+        chain are skipped; the pf chain consumes its table group-folded.
+        Requires deterministic mode (same restriction as the compact tail).
+        Numerically equivalent to the unhoisted path."""
         cutoffs = dict(self.graph_cutoffs)
+
+        # the compact-tail decision is needed up front: with step tables and
+        # a compact conv0 the full-width [B,P,S] prot scalars are never
+        # materialized at all (see below)
+        compact_at = self.n_convs - 2 if (
+            self.compact_prot_tail and self.prune_dead_prot_tail
+            and self.n_convs >= 2 and self.pf_k and self.pf_k > 0
+            and deterministic) else None
 
         # timestep concat + scalar encoding
         b, f = pharm_mask.shape
         p = prot_mask.shape[1]
         t_pharm = jnp.broadcast_to(t[:, None, None], (b, f, 1))
-        t_prot = jnp.broadcast_to(t[:, None, None], (b, p, 1))
         pharm_scalars = ScalarEncoder(self.n_hidden_scalars, name="pharm_encoder")(
             jnp.concatenate([pharm_h_t, t_pharm], axis=-1))
-        prot_scalars = ScalarEncoder(self.n_hidden_scalars, name="prot_encoder")(
-            jnp.concatenate([prot_h, t_prot], axis=-1))
+
+        pp_s = pp_v = pp_cnt = pf_table = None
+        prot_group = 1
+        if step_tables is not None:
+            if not deterministic:
+                raise ValueError("step_tables requires deterministic mode")
+            enc_g, pp_s, pp_v, pp_cnt, pf_table = step_tables
+            if enc_g.shape[0] * pocket_group_size != b:
+                raise ValueError(
+                    f"step_tables group axis {enc_g.shape[0]} x "
+                    f"pocket_group_size {pocket_group_size} != batch {b}")
+            if compact_at == 0 and pf_table is not None:
+                # conv0 is the compact conv: every prot consumer reads from
+                # group-level tables (pp aggregates, pf table, residual
+                # gather), so keep the scalars at group level — the [B,P,S]
+                # broadcast never happens
+                prot_scalars = enc_g
+                prot_group = pocket_group_size
+            elif pocket_group_size > 1:
+                prot_scalars = jnp.repeat(enc_g, pocket_group_size, axis=0)
+            else:
+                prot_scalars = enc_g
+        else:
+            t_prot = jnp.broadcast_to(t[:, None, None], (b, p, 1))
+            prot_scalars = ScalarEncoder(self.n_hidden_scalars,
+                                         name="prot_encoder")(
+                jnp.concatenate([prot_h, t_prot], axis=-1))
+            prot_scalars = prot_scalars * prot_mask[..., None]
 
         # zero-init vector channels (dynamics_gvp.py:156-173)
         v_pharm = jnp.zeros((b, f, self.vector_size, 3), pharm_scalars.dtype)
-        v_prot = jnp.zeros((b, p, self.vector_size, 3), prot_scalars.dtype)
+        v_prot = jnp.zeros((prot_scalars.shape[0], p, self.vector_size, 3),
+                           prot_scalars.dtype)
 
         # mask padded slots so they contribute exact zeros everywhere
+        # (precomputed tables arrive already masked)
         pharm_scalars = pharm_scalars * pharm_mask[..., None]
-        prot_scalars = prot_scalars * prot_mask[..., None]
 
         node_feats: Dict[str, Tuple[Array, Array, Array]] = {
             "pharm": (pharm_scalars, pharm_x_t, v_pharm),
@@ -175,20 +304,16 @@ class PharmRecDynamics(nn.Module):
                                    cutoffs, ff_k=self.ff_k, pf_k=self.pf_k,
                                    pp_nbrs=pp_nbrs, pp_edge=pp_edge)
 
-        # compact prot tail: when the LAST conv only updates pharm (its
-        # prot-side work is pruned as dead), the conv before it is the final
-        # writer of prot state, and that state is only ever read back through
-        # the next conv's pf gathers at bundle['pf'].idx. Its prot update can
+        # compact prot tail (decision hoisted above for the step-tables
+        # path): when the LAST conv only updates pharm (its prot-side work
+        # is pruned as dead), the conv before it is the final writer of prot
+        # state, and that state is only ever read back through the next
+        # conv's pf gathers at bundle['pf'].idx. Its prot update can
         # therefore run on just those F*K rows, and the subsequent pf
         # "gather" becomes a reshape. Exact per-atom numerics; knn-mode pf
         # only (radius mode has no narrow index list). Deterministic mode
         # only: with dropout active the draws would fall per compact slot
         # instead of per atom, so training keeps the full-width path.
-        compact_at = self.n_convs - 2 if (
-            self.compact_prot_tail and self.prune_dead_prot_tail
-            and self.n_convs >= 2 and self.pf_k and self.pf_k > 0
-            and deterministic) else None
-
         from pharmaforge_tpu.models.edges import PreGatheredEdgeData
         for i in range(self.n_convs):
             last = i == self.n_convs - 1
@@ -215,7 +340,14 @@ class PharmRecDynamics(nn.Module):
               # pocket-copy dedup is only valid while the prot state is
               # copy-independent, i.e. before the first fp update lands
               pp_src_group_size=pocket_group_size if i == 0 else 1,
-              prot_dst_idx=prot_dst_idx)
+              prot_dst_idx=prot_dst_idx,
+              # conv0 (t, pocket)-only work hoisted out of the sampling scan
+              pp_precomputed=(pp_s, pp_v, pp_cnt)
+              if i == 0 and pp_s is not None else None,
+              pf_table=pf_table if i == 0 else None,
+              pf_src_group_size=pocket_group_size
+              if i == 0 and pf_table is not None else 1,
+              prot_feats_group_size=prot_group if i == 0 else 1)
             if prot_dst_idx is not None:
                 # prot state is now compact: the remaining conv reads it only
                 # through pf, which becomes a pre-gathered reshape
