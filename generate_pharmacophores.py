@@ -5,7 +5,10 @@ the pocket from a reference-ligand SDF (residues within `pocket_cutoff`) or
 an explicit chain:resid list, builds the dense pocket arrays, loads a trained
 checkpoint, runs batched reverse diffusion, and writes xyz outputs +
 pocket.pdb + timing artifacts. Receptor parsing happens host-side with
-biopython/rdkit (lazy imports); the diffusion chain is one jitted lax.scan.
+biopython/rdkit when installed, falling back to the dependency-free
+PDB/SDF parsers in `pharmaforge_tpu.preprocessing.structure` (same
+selection semantics) so the CLI runs end-to-end on a bare TPU-VM image;
+the diffusion chain is one jitted lax.scan.
 """
 
 import argparse
@@ -80,9 +83,16 @@ def parse_arguments():
 
 
 def parse_ligand(ligand_path: Path, remove_hydrogen: bool = False):
-    """Load a ligand SDF into rdkit and return (mol, positions [N,3])
-    (reference generate_pharmacophores.py:68-95)."""
-    from rdkit import Chem
+    """Load a ligand SDF and return (mol, positions [N,3])
+    (reference generate_pharmacophores.py:68-95). Falls back to the
+    dependency-free V2000 parser when rdkit is absent (mol is None then —
+    the inference path only consumes the positions)."""
+    try:
+        from rdkit import Chem
+    except ImportError:
+        from pharmaforge_tpu.preprocessing.structure import parse_sdf_coords
+        return None, parse_sdf_coords(ligand_path,
+                                      remove_hydrogen=remove_hydrogen)
     suppl = Chem.SDMolSupplier(str(ligand_path), sanitize=False,
                                removeHs=remove_hydrogen)
     ligands = list(suppl)
@@ -116,6 +126,88 @@ def onehot_encode_elements(atom_elements: Iterable,
     return onehot
 
 
+def _pocket_arrays(pocket_coords: np.ndarray, pocket_elements,
+                   prot_element_map: Dict[str, int],
+                   init_com: np.ndarray) -> dict:
+    """One-hot + 'other'-element dropping, shared by both parser paths
+    (reference generate_pharmacophores.py:195-202)."""
+    onehot_elements = onehot_encode_elements(pocket_elements, prot_element_map)
+    other_mask = onehot_elements[:, -1] == 1
+    pocket_atom_features = onehot_elements[:, :-1].astype(np.float32)
+    return {
+        'prot_x': np.asarray(pocket_coords,
+                             dtype=np.float32)[~other_mask],
+        'prot_h': pocket_atom_features[~other_mask],
+        'init_com': init_com.astype(np.float32),
+    }
+
+
+def _process_pocket_builtin(rec_file: Path, output_dir: Path,
+                            prot_element_map: Dict[str, int],
+                            pocket_cutoff: float,
+                            lig_file: Path = None,
+                            residue_list: list = (),
+                            remove_hydrogen: bool = True) -> dict:
+    """biopython-free pocket construction (PDB receptors only), same
+    semantics as the biopython path: standard-AA residues within
+    `pocket_cutoff` of the ligand, or an explicit chain:resid list."""
+    from pharmaforge_tpu.preprocessing.structure import (
+        STANDARD_AA,
+        group_residues,
+        parse_pdb_atoms,
+        write_pdb_lines,
+    )
+
+    if rec_file.suffix != '.pdb':
+        raise ImportError(
+            f'parsing {rec_file.suffix} receptors requires biopython '
+            '(the builtin fallback parser supports .pdb only)')
+    atoms = parse_pdb_atoms(rec_file)
+    # polymer residues only: ATOM records, blank insertion code — the
+    # biopython path iterates (' ', resseq, ' ') residue ids the same way
+    residues = group_residues(a for a in atoms
+                              if a.record == 'ATOM' and a.icode == ' ')
+
+    if lig_file is not None:
+        _, lig_coords = parse_ligand(lig_file, remove_hydrogen=remove_hydrogen)
+        init_com = lig_coords.mean(axis=0).reshape(1, 3)
+        pocket_residues = []
+        for key, res_atoms in residues:
+            if key[3] not in STANDARD_AA:
+                continue
+            res_coords = np.stack([a.coord for a in res_atoms])
+            d2 = np.sum((lig_coords[:, None] - res_coords[None]) ** 2, -1)
+            if float(d2.min()) < pocket_cutoff ** 2:
+                pocket_residues.append((key, res_atoms))
+        if len(pocket_residues) == 0:
+            raise ValueError('no valid pocket residues found.')
+    else:
+        wanted = [(r.split(':')[0], int(r.split(':')[1]))
+                  for r in residue_list]
+        by_id = {(k[0], k[1]): (k, v) for k, v in residues}
+        missing = [w for w in wanted if w not in by_id]
+        if missing:
+            raise ValueError(f'pocket residues not found in receptor: '
+                             f'{missing}')
+        pocket_residues = [by_id[w] for w in wanted]
+        pocket_coords = np.stack([a.coord for _, res in pocket_residues
+                                  for a in res])
+        init_com = pocket_coords.mean(axis=0).reshape(1, 3)
+
+    pocket_atoms = [a for _, res in pocket_residues for a in res
+                    if not (remove_hydrogen and a.element == 'H')]
+    pocket_coords = np.stack([a.coord for a in pocket_atoms])
+    pocket_elements = np.array([element_fixer(a.element)
+                                for a in pocket_atoms])
+    # pocket.pdb keeps every atom of the selected residues (the biopython
+    # path's PDBIO residue selector does the same); only the model arrays
+    # are hydrogen-filtered
+    write_pdb_lines([a for _, res in pocket_residues for a in res],
+                    output_dir / 'pocket.pdb')
+    return _pocket_arrays(pocket_coords, pocket_elements, prot_element_map,
+                          init_com)
+
+
 def process_ligand_and_pocket(rec_file: Path, output_dir: Path,
                               prot_element_map: Dict[str, int],
                               pocket_cutoff: float,
@@ -124,18 +216,24 @@ def process_ligand_and_pocket(rec_file: Path, output_dir: Path,
                               remove_hydrogen: bool = True) -> dict:
     """Build the dense pocket arrays + init COM for an arbitrary receptor
     (reference generate_pharmacophores.py:120-220). Returns a pocket sample
-    dict compatible with PocketSampler plus 'init_com'."""
-    try:
-        from Bio.PDB import MMCIFParser, PDBIO, PDBParser
-        from Bio.PDB.Polypeptide import is_aa
-    except ImportError as e:
-        raise ImportError('biopython is required to parse receptor '
-                          'structures') from e
-    from scipy.spatial.distance import cdist
+    dict compatible with PocketSampler plus 'init_com'.
 
+    Uses biopython when installed; otherwise a dependency-free PDB parser
+    with the same selection semantics (preprocessing/structure.py), so the
+    CLI works end-to-end on a bare TPU-VM image."""
     if lig_file is None and len(residue_list) == 0:
         raise ValueError('Either reference ligand or pocket residue list '
                          'must be provided.')
+
+    try:
+        from Bio.PDB import MMCIFParser, PDBIO, PDBParser
+        from Bio.PDB.Polypeptide import is_aa
+    except ImportError:
+        return _process_pocket_builtin(
+            rec_file, output_dir, prot_element_map, pocket_cutoff,
+            lig_file=lig_file, residue_list=residue_list,
+            remove_hydrogen=remove_hydrogen)
+    from scipy.spatial.distance import cdist
 
     if rec_file.suffix == '.pdb':
         parser = PDBParser(QUIET=True)
@@ -179,14 +277,6 @@ def process_ligand_and_pocket(rec_file: Path, output_dir: Path,
     pocket_elements = np.array([element_fixer(a.element)
                                 for a in pocket_atoms])
 
-    onehot_elements = onehot_encode_elements(pocket_elements, prot_element_map)
-    other_mask = onehot_elements[:, -1] == 1
-    pocket_atom_features = onehot_elements[:, :-1].astype(np.float32)
-
-    # drop 'other' elements (generate_pharmacophores.py:195-202)
-    pocket_coords = pocket_coords[~other_mask]
-    pocket_atom_features = pocket_atom_features[~other_mask]
-
     # save the pocket file
     from pharmaforge_tpu.preprocessing.receptor_utils import PocketSelector
     pocket_selector = PocketSelector(pocket_residues)
@@ -194,11 +284,8 @@ def process_ligand_and_pocket(rec_file: Path, output_dir: Path,
     io_object.set_structure(rec_struct)
     io_object.save(str(output_dir / 'pocket.pdb'), pocket_selector.bio_select)
 
-    return {
-        'prot_x': pocket_coords,
-        'prot_h': pocket_atom_features,
-        'init_com': init_com.astype(np.float32),
-    }
+    return _pocket_arrays(pocket_coords, pocket_elements, prot_element_map,
+                          init_com)
 
 
 def main():
