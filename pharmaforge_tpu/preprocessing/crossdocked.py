@@ -133,13 +133,45 @@ def pocket_heavy_atoms(pdb_struct, lig_coords: np.ndarray, cutoff: float):
             np.asarray(res_ids))
 
 
+def pocket_heavy_atoms_from_file(rec_path: str, lig_coords: np.ndarray,
+                                 cutoff: float):
+    """`pocket_heavy_atoms` for a receptor path; uses biopython when
+    installed, otherwise the builtin fixed-column PDB parser
+    (preprocessing/structure.py) with identical selection semantics."""
+    try:
+        from Bio.PDB import PDBParser
+    except ImportError:
+        from pharmaforge_tpu.preprocessing.structure import (
+            STANDARD_AA, group_residues, parse_pdb_atoms)
+
+        coords, elements, names, res_ids = [], [], [], []
+        residues = group_residues(
+            a for a in parse_pdb_atoms(rec_path) if a.record == "ATOM")
+        for (chain, resseq, icode, resname), atoms in residues:
+            if resname not in STANDARD_AA:
+                continue
+            res_coords = np.stack([a.coord for a in atoms])
+            d2 = np.sum((lig_coords[:, None] - res_coords[None]) ** 2, -1)
+            if float(d2.min()) >= cutoff ** 2:
+                continue
+            for a in atoms:
+                if a.element == "H":
+                    continue
+                coords.append(a.coord)
+                elements.append(element_fixer(a.element))
+                names.append(a.name)
+                res_ids.append(resseq)
+        return (np.asarray(coords), np.asarray(elements), np.asarray(names),
+                np.asarray(res_ids))
+    pdb_struct = PDBParser(QUIET=True).get_structure("", rec_path)
+    return pocket_heavy_atoms(pdb_struct, lig_coords, cutoff)
+
+
 def getfeatures(reclig: Tuple[str, str], crossdocked_data_dir: Path,
                 pocket_cutoff: float = 8):
     """Extract all features for one (receptor, ligand) pair. Capability
     parity with reference process_crossdocked.py:39-171; returns the same
     5-tuple layout with None sentinels on failure."""
-    from Bio.PDB import PDBParser
-
     rec, glig = reclig
     try:
         rec_rel, lig_rel, conformer = resolve_pair_paths(rec, glig)
@@ -159,9 +191,8 @@ def getfeatures(reclig: Tuple[str, str], crossdocked_data_dir: Path,
 
         site_coords, site_kinds = receptor_sites_near_ligand(
             rec_path, lig_coords, pocket_cutoff)
-        pdb_struct = PDBParser(QUIET=True).get_structure("", rec_path)
         pocket_coords, pocket_elements, pocket_anames, pocket_rid = \
-            pocket_heavy_atoms(pdb_struct, lig_coords, pocket_cutoff)
+            pocket_heavy_atoms_from_file(rec_path, lig_coords, pocket_cutoff)
 
         return (rec, glig, ligand, (feature_coords, feature_kind),
                 (pocket_coords, pocket_elements, site_coords, site_kinds,

@@ -1,11 +1,13 @@
 """Minimal stand-ins for the host-side chemistry toolkits.
 
 The preprocessing pipeline (pharmaforge_tpu.preprocessing.crossdocked) leans
-on BioPython and RDKit only for file parsing on this path: PDB ATOM records
-and SDF conformer coordinates. These stubs implement exactly that surface so
-the pipeline's own logic (types parsing, conformer slicing, pocket/site
-selection, tensor packing) is testable on boxes without the chemistry deps.
-They are injected into sys.modules by tests/test_preprocessing.py.
+on RDKit only for SDF conformer coordinates on this path; this stub
+implements exactly that surface so the pipeline's own logic (types parsing,
+conformer slicing, pocket/site selection, tensor packing) is testable on
+boxes without the chemistry deps. Receptor PDB parsing needs no stub: the
+pipeline falls back to the real builtin parser
+(pharmaforge_tpu/preprocessing/structure.py) when biopython is absent.
+Injected into sys.modules by tests/test_preprocessing.py.
 """
 
 from __future__ import annotations
@@ -14,85 +16,6 @@ import gzip
 import types
 
 import numpy as np
-
-STANDARD_AA = {
-    "ALA", "ARG", "ASN", "ASP", "CYS", "GLN", "GLU", "GLY", "HIS", "ILE",
-    "LEU", "LYS", "MET", "PHE", "PRO", "SER", "THR", "TRP", "TYR", "VAL",
-}
-
-
-# --------------------------------------------------------------- Bio.PDB ---
-
-class _Atom:
-    def __init__(self, name, element, coord):
-        self.name = name
-        self.element = element
-        self._coord = np.asarray(coord, dtype=np.float32)
-
-    def get_coord(self):
-        return self._coord
-
-
-class _Residue:
-    def __init__(self, resname, res_seq):
-        self._resname = resname
-        self.id = (" ", res_seq, " ")
-        self._atoms = []
-
-    def get_resname(self):
-        return self._resname
-
-    def get_atoms(self):
-        return iter(self._atoms)
-
-
-class _Model:
-    def __init__(self):
-        self._residues = []
-
-    def get_residues(self):
-        return iter(self._residues)
-
-
-class _Structure:
-    def __init__(self):
-        self._models = [_Model()]
-
-    def __getitem__(self, i):
-        return self._models[i]
-
-
-class PDBParser:
-    """Parses ATOM/HETATM records of a PDB file (columns per the spec)."""
-
-    def __init__(self, QUIET=False):
-        pass
-
-    def get_structure(self, _name, path):
-        structure = _Structure()
-        model = structure[0]
-        current = None
-        with open(path) as f:
-            for line in f:
-                if not line.startswith(("ATOM", "HETATM")):
-                    continue
-                resname = line[17:20].strip()
-                res_seq = int(line[22:26])
-                if current is None or current.id[1] != res_seq:
-                    current = _Residue(resname, res_seq)
-                    model._residues.append(current)
-                atom = _Atom(
-                    name=line[12:16].strip(),
-                    element=line[76:78].strip() or line[12:16].strip()[0],
-                    coord=(float(line[30:38]), float(line[38:46]),
-                           float(line[46:54])))
-                current._atoms.append(atom)
-        return structure
-
-
-def is_aa(resname, standard=False):
-    return resname.upper() in STANDARD_AA
-
 
 # ------------------------------------------------------------- rdkit SDF ---
 
@@ -133,16 +56,14 @@ def ForwardSDMolSupplier(source, sanitize=False):
 
 
 def install(monkeypatch):
-    """Register the stubs under the real import names."""
-    import sys
+    """Register the stubs under the real import names.
 
-    bio = types.ModuleType("Bio")
-    bio_pdb = types.ModuleType("Bio.PDB")
-    bio_pdb.PDBParser = PDBParser
-    bio_poly = types.ModuleType("Bio.PDB.Polypeptide")
-    bio_poly.is_aa = is_aa
-    bio_pdb.Polypeptide = bio_poly
-    bio.PDB = bio_pdb
+    Only rdkit is stubbed now: the pipeline's receptor parsing falls back
+    to the REAL builtin PDB parser (pharmaforge_tpu/preprocessing/
+    structure.py) when biopython is absent, so the test exercises that
+    production code path rather than a Bio stand-in.
+    """
+    import sys
 
     rdkit = types.ModuleType("rdkit")
     rdkit_chem = types.ModuleType("rdkit.Chem")
@@ -152,8 +73,6 @@ def install(monkeypatch):
     rdkit_chem.AllChem = rdkit_allchem
     rdkit.Chem = rdkit_chem
 
-    for name, mod in [("Bio", bio), ("Bio.PDB", bio_pdb),
-                      ("Bio.PDB.Polypeptide", bio_poly),
-                      ("rdkit", rdkit), ("rdkit.Chem", rdkit_chem),
+    for name, mod in [("rdkit", rdkit), ("rdkit.Chem", rdkit_chem),
                       ("rdkit.Chem.AllChem", rdkit_allchem)]:
         monkeypatch.setitem(sys.modules, name, mod)
