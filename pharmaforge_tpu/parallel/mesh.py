@@ -5,9 +5,11 @@ rank>0, see SURVEY.md §2.4); here data parallelism is first-class and
 TPU-native: a 1-D `jax.sharding.Mesh` over the ICI fabric, batches sharded on
 the leading axis, parameters and optimizer state replicated. Gradients are
 all-reduced by XLA-inserted collectives during the jitted train step — no
-NCCL, no process groups. Multi-host extends transparently: `jax.devices()`
-spans hosts under jax.distributed, and per-host data loading feeds each
-process its local shard (addressable slice of the global batch).
+NCCL, no process groups. Multi-host (jax.distributed): `jax.devices()`
+spans hosts, `process_local_rows` tells each host which slice of the
+global batch to load, and `shard_batch` assembles the global array from
+the per-process local data without cross-host transfers
+(`jax.make_array_from_process_local_data`).
 """
 
 from __future__ import annotations
@@ -32,9 +34,32 @@ def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, sharding)
 
 
+def assemble_from_process_local(batch, sharding: NamedSharding):
+    """Build global sharded arrays from per-process local data.
+
+    Each process passes ONLY the rows its addressable devices will hold (in
+    mesh order); `jax.make_array_from_process_local_data` assembles the
+    global `jax.Array` without any cross-host transfer. This is the
+    multi-host (jax.distributed) data path: the loader materializes just
+    the local shard of the global batch on every host. Single-process it is
+    equivalent to a `device_put` of the full batch (pinned by
+    tests/_mesh_sampling_main.py on the virtual 8-device mesh).
+    """
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), batch)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
-    """Shard a batch pytree along its leading (batch) axis."""
+    """Shard a batch pytree along its leading (batch) axis.
+
+    Multi-process (jax.distributed): `batch` must be this process's local
+    slice of the global batch — see `assemble_from_process_local` and
+    `process_local_rows`.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    if jax.process_count() > 1:
+        return assemble_from_process_local(batch, sharding)
     return jax.device_put(batch, sharding)
 
 
@@ -42,7 +67,33 @@ def shard_stacked_batch(batch, mesh: Mesh, axis_name: str = "data"):
     """Shard a K-stacked batch pytree (leading scan axis K, then the batch
     axis) over the mesh: scan axis replicated, batch axis sharded."""
     sharding = NamedSharding(mesh, P(None, axis_name))
+    if jax.process_count() > 1:
+        return assemble_from_process_local(batch, sharding)
     return jax.device_put(batch, sharding)
+
+
+def process_local_rows(n_rows_global: int, mesh: Mesh,
+                       axis_name: str = "data") -> tuple:
+    """(start, stop) rows of the global batch this process must load.
+
+    Rows are laid out contiguously in mesh-device order, so a host's share
+    is the contiguous span covering its addressable devices' mesh
+    positions. Single-process this is (0, n_rows_global).
+    """
+    devs = list(mesh.devices.reshape(-1))
+    if n_rows_global % len(devs):
+        raise ValueError(f"global batch {n_rows_global} not divisible by "
+                         f"mesh size {len(devs)}")
+    per = n_rows_global // len(devs)
+    mine = [i for i, d in enumerate(devs)
+            if d.process_index == jax.process_index()]
+    if not mine:
+        return 0, 0
+    if mine != list(range(mine[0], mine[-1] + 1)):
+        raise ValueError("this process's devices are not contiguous in the "
+                         "mesh; reorder the mesh so per-host rows are a "
+                         "contiguous slice")
+    return mine[0] * per, (mine[-1] + 1) * per
 
 
 def pad_batch_to_multiple(batch, multiple: int):

@@ -71,6 +71,21 @@ def main():
                                        rtol=0, atol=1e-5)
             assert pa.ph_types == pb.ph_types
 
+    # the multi-host assembly path must equal device_put single-process:
+    # same sharding, same values, per-device shards intact
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from pharmaforge_tpu.parallel.mesh import (assemble_from_process_local,
+                                               process_local_rows,
+                                               shard_batch)
+    sharding = NamedSharding(mesh, P("data"))
+    direct = shard_batch(init_batch, mesh)
+    assembled = assemble_from_process_local(init_batch, sharding)
+    for da, aa in zip(jax.tree_util.tree_leaves(direct),
+                      jax.tree_util.tree_leaves(assembled)):
+        assert da.sharding.is_equivalent_to(aa.sharding, da.ndim)
+        np.testing.assert_array_equal(np.asarray(da), np.asarray(aa))
+    assert process_local_rows(16, mesh) == (0, 16)  # single process: all
+
     print("mesh_sampling OK")
 
 
