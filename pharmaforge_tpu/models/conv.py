@@ -729,7 +729,11 @@ class GVPMultiEdgeConv(nn.Module):
                                                            mean=use_mean)
             else:
                 kw = {}
-                if ename == "pf" and pf_table is not None:
+                if ename == "pf" and (pf_table is not None
+                                      or pf_src_group_size > 1):
+                    # either an injected per-node table (sampling-scan
+                    # hoist) or a group-level h_src (dedup_prot_encoder):
+                    # both gather group-folded onto the per-copy dst rows
                     kw = dict(table_override=pf_table,
                               src_group_size=pf_src_group_size)
                 s_msg, v_msg = chain(h_src, v_src, ed,

@@ -92,6 +92,7 @@ class DiffusionConfig:
     pf_k: int = 0
     prune_dead_prot_tail: bool = True
     compact_prot_tail: bool = True
+    dedup_prot_encoder: bool = True
     graph_cutoffs: Tuple[Tuple[str, float], ...] = (
         ("pp", 3.5), ("pf", 8.0), ("fp", 8.0), ("ff", 9.0))
     # TPU-specific: static width of the prot-prot neighbor list. The
@@ -117,7 +118,7 @@ class DiffusionConfig:
     # equivalent (pinned by tests/test_step_tables.py). Measured on v5e at
     # the bench workload (4 pockets x 30 copies, T=100): ~3-5% faster in
     # single-call LATENCY mode but ~5% SLOWER in pipelined throughput mode
-    # (scripts/ab_step_tables.py; the per-step work it removes was already
+    # (scripts/ab_knob.py; the per-step work it removes was already
     # hidden by dispatch pipelining, while the per-step table slices break
     # some XLA fusion). Default off — the headline sweep/serving regime is
     # pipelined; flip on for latency-sensitive single-shot generation.
@@ -173,6 +174,7 @@ class DiffusionConfig:
             pf_k=self.pf_k,
             prune_dead_prot_tail=self.prune_dead_prot_tail,
             compact_prot_tail=self.compact_prot_tail,
+            dedup_prot_encoder=self.dedup_prot_encoder,
             compute_dtype=self.compute_dtype,
         )
 

@@ -200,6 +200,11 @@ class PharmRecDynamics(nn.Module):
     # run the final prot update only on the F*K pf-gathered atoms (exact;
     # see the compact-tail note in __call__); off switch for A/B testing
     compact_prot_tail: bool = True
+    # with pocket groups (batched sampling), encode prot scalars ONCE per
+    # pocket group instead of once per copy and keep them group-level
+    # through conv0 (valid when conv0 is the compact conv: every prot
+    # consumer — pp chain, pf gather, compact residual — reads group-folded)
+    dedup_prot_encoder: bool = True
     # activation dtype for the conv message/update chains
     compute_dtype: str = "float32"
 
@@ -276,11 +281,34 @@ class PharmRecDynamics(nn.Module):
             else:
                 prot_scalars = enc_g
         else:
-            t_prot = jnp.broadcast_to(t[:, None, None], (b, p, 1))
-            prot_scalars = ScalarEncoder(self.n_hidden_scalars,
-                                         name="prot_encoder")(
-                jnp.concatenate([prot_h, t_prot], axis=-1))
-            prot_scalars = prot_scalars * prot_mask[..., None]
+            # batched sampling tiles one pocket over each group of C rows
+            # with a group-uniform t: the encoder output is identical across
+            # the copies. When conv0 is the compact conv, every consumer of
+            # prot state reads it group-folded (pp chain, pf source table,
+            # compact residual gather), so encode ONCE per group and never
+            # materialize the [B,P,S] per-copy activation — at the bench
+            # workload that activation write is the single most expensive
+            # HBM transfer of the sampling step (docs/performance.md).
+            group_enc = (self.dedup_prot_encoder and pocket_group_size > 1
+                         and compact_at == 0)
+            if group_enc:
+                c = pocket_group_size
+                g = b // c
+                ph_g = prot_h.reshape((g, c) + prot_h.shape[1:])[:, 0]
+                pm_g = prot_mask.reshape(g, c, p)[:, 0]
+                t_g = t.reshape(g, c)[:, 0]
+                t_prot = jnp.broadcast_to(t_g[:, None, None], (g, p, 1))
+                prot_scalars = ScalarEncoder(self.n_hidden_scalars,
+                                             name="prot_encoder")(
+                    jnp.concatenate([ph_g, t_prot], axis=-1))
+                prot_scalars = prot_scalars * pm_g[..., None]
+                prot_group = c
+            else:
+                t_prot = jnp.broadcast_to(t[:, None, None], (b, p, 1))
+                prot_scalars = ScalarEncoder(self.n_hidden_scalars,
+                                             name="prot_encoder")(
+                    jnp.concatenate([prot_h, t_prot], axis=-1))
+                prot_scalars = prot_scalars * prot_mask[..., None]
 
         # zero-init vector channels (dynamics_gvp.py:156-173)
         v_pharm = jnp.zeros((b, f, self.vector_size, 3), pharm_scalars.dtype)
@@ -346,7 +374,7 @@ class PharmRecDynamics(nn.Module):
               if i == 0 and pp_s is not None else None,
               pf_table=pf_table if i == 0 else None,
               pf_src_group_size=pocket_group_size
-              if i == 0 and pf_table is not None else 1,
+              if i == 0 and (pf_table is not None or prot_group > 1) else 1,
               prot_feats_group_size=prot_group if i == 0 else 1)
             if prot_dst_idx is not None:
                 # prot state is now compact: the remaining conv reads it only

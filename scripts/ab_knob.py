@@ -1,4 +1,10 @@
-"""Interleaved A/B: precompute_step_tables on vs off at the bench workload."""
+"""Interleaved A/B of one boolean DiffusionConfig knob at the bench workload.
+
+AB_KNOB selects the field (default precompute_step_tables); AB_DEPTH /
+AB_REPEATS / AB_POCKETS shape the run. Both variants are built in ONE
+process and the repeats alternate — cross-process timings on this
+tunneled deployment drift too much to compare (docs/performance.md).
+"""
 import time
 import numpy as np
 import jax
@@ -34,8 +40,9 @@ b = batch.pharm_mask.shape[0]
 fns = {}
 params = None
 for name, on in (("off", False), ("on", True)):
-    model = PharmacophoreDiffusion(DiffusionConfig(
-        precompute_step_tables=on, **base))
+    import os
+    knob = os.environ.get("AB_KNOB", "precompute_step_tables")
+    model = PharmacophoreDiffusion(DiffusionConfig(**{knob: on}, **base))
     if params is None:
         params = model.init_params(jax.random.key(0), batch)
     f = jax.jit(lambda p, bt, k, m=model: m.sample_given_receptor(
