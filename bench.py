@@ -163,11 +163,14 @@ def main():
                    help="calls enqueued back-to-back per repeat (a "
                         "multi-pocket sweep keeps the dispatch queue full; "
                         "1 = pure latency mode)")
-    p.add_argument("--pockets_per_call", type=int, default=4,
+    p.add_argument("--pockets_per_call", type=int, default=8,
                    help="distinct pockets stacked into one device batch "
                         "(PocketSampler.sample_stacked layout); per-step "
                         "ops are tiny at single-pocket batch, stacking "
-                        "amortizes their fixed cost")
+                        "amortizes their fixed cost. 8 is the measured "
+                        "knee with dedup_prot_encoder (4 was, before it "
+                        "freed the VMEM the bigger batch needs; 16 adds "
+                        "~4% more with much wider spread + slower compile)")
     p.add_argument("--matmul_precision", type=str, default="bfloat16",
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "

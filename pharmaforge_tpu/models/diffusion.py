@@ -96,10 +96,14 @@ class DiffusionConfig:
     graph_cutoffs: Tuple[Tuple[str, float], ...] = (
         ("pp", 3.5), ("pf", 8.0), ("fp", 8.0), ("ff", 9.0))
     # TPU-specific: static width of the prot-prot neighbor list. The
-    # reference caps pp degree at 100 (protein_pharm_dataset.py:235) but the
-    # true degree at 3.5 A between heavy atoms is ~10-14, so nearest-16 is
-    # lossless in practice while bounding the gathered edge tensor (pp edges
-    # dominate step time; see scripts/perf_ablation.py).
+    # reference caps pp degree at 100 (protein_pharm_dataset.py:235); real
+    # heavy-atom coordination at 3.5 A is ~9-11 (mean). Quantified at
+    # worst-case packing density (tests/test_torch_cluster_golden.py::
+    # test_pp_truncation_quantified_at_protein_packing_density): nearest-16
+    # drops <=1.3% of edges — always the farthest of their destination —
+    # and k_max=20 is fully lossless even there. 16 bounds the gathered
+    # edge tensor (pp edges dominate step time; scripts/perf_ablation.py);
+    # set graph.pp_k_max: 20 in the config for guaranteed losslessness.
     pp_k_max: int = 16
     # activation dtype inside the message/update chains: 'bfloat16' halves
     # the HBM traffic of the edge tensors (params and reductions stay fp32)

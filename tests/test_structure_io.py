@@ -11,7 +11,6 @@ import numpy as np
 import pytest
 
 from pharmaforge_tpu.preprocessing.structure import (
-    STANDARD_AA,
     group_residues,
     parse_pdb_atoms,
     parse_sdf_coords,
