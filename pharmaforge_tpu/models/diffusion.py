@@ -103,7 +103,9 @@ class DiffusionConfig:
     # drops <=1.3% of edges — always the farthest of their destination —
     # and k_max=20 is fully lossless even there. 16 bounds the gathered
     # edge tensor (pp edges dominate step time; scripts/perf_ablation.py);
-    # set graph.pp_k_max: 20 in the config for guaranteed losslessness.
+    # set graph.pp_k_max: 20 in the config for guaranteed losslessness at
+    # a measured -3.4% sampling throughput (2943 -> 2842 samples/s,
+    # interleaved A/B at the bench workload).
     pp_k_max: int = 16
     # activation dtype inside the message/update chains: 'bfloat16' halves
     # the HBM traffic of the edge tensors (params and reductions stay fp32)

@@ -232,7 +232,10 @@ class PharmRecDynamics(nn.Module):
         pharmacodiff.py:540-556). The first conv's prot-prot messages —
         which depend only on (prot_h, t, pp geometry) because the vector
         channels start at zero — are then computed once per group instead
-        of once per copy. Numerically identical to the ungrouped path.
+        of once per copy; and when conv0 is also the compact conv (see
+        `dedup_prot_encoder`), the prot scalar ENCODER runs once per group
+        too and its per-copy [B, P, S] output never materializes.
+        Numerically identical to the ungrouped path.
 
         `step_tables` injects one T-slice of `SamplingTables` (the
         (t, pocket)-only conv0 work hoisted out of a sampling scan):
