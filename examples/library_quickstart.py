@@ -15,6 +15,11 @@ import numpy as np
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
+import os
+if os.environ.get("JAX_PLATFORMS"):
+    # honor the env var even on hosts whose site hook re-selects a TPU
+    # plugin after import (see tests/conftest.py)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from pharmaforge_tpu.analysis.metrics import SampleAnalyzer
 from pharmaforge_tpu.data.dataset import ProteinPharmacophoreDataset, get_dataloader
