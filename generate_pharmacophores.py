@@ -148,21 +148,20 @@ def _process_pocket_builtin(rec_file: Path, output_dir: Path,
                             lig_file: Path = None,
                             residue_list: list = (),
                             remove_hydrogen: bool = True) -> dict:
-    """biopython-free pocket construction (PDB receptors only), same
+    """biopython-free pocket construction (PDB or mmCIF receptors), same
     semantics as the biopython path: standard-AA residues within
     `pocket_cutoff` of the ligand, or an explicit chain:resid list."""
     from pharmaforge_tpu.preprocessing.structure import (
         STANDARD_AA,
         group_residues,
-        parse_pdb_atoms,
+        parse_structure_atoms,
         write_pdb_lines,
     )
 
-    if rec_file.suffix != '.pdb':
-        raise ImportError(
-            f'parsing {rec_file.suffix} receptors requires biopython '
-            '(the builtin fallback parser supports .pdb only)')
-    atoms = parse_pdb_atoms(rec_file)
+    if rec_file.suffix not in ('.pdb', '.mmcif', '.cif'):
+        raise ValueError(f'unsupported receptor file type: '
+                         f'{rec_file.suffix}, must be .pdb or .mmcif')
+    atoms = parse_structure_atoms(rec_file)
     # polymer residues only: ATOM records, blank insertion code — the
     # biopython path iterates (' ', resseq, ' ') residue ids the same way
     residues = group_residues(a for a in atoms

@@ -137,6 +137,116 @@ def write_pdb_lines(atoms: Sequence[PdbAtom], path) -> None:
         f.write("END\n")
 
 
+def _pdb_line_from_fields(record, serial, name, altloc, resname, chain,
+                          resseq, icode, x, y, z, element) -> str:
+    """Format one PDB coordinate record (for pocket.pdb written from a
+    non-PDB source). Columns per the PDB spec; one-letter elements are
+    right-justified in the name field."""
+    name_field = name if len(name) >= 4 else (
+        f"{name:<4s}" if len(element) == 2 else f" {name:<3s}")
+    return (f"{record:<6s}{serial:>5d} {name_field[:4]}{altloc}"
+            f"{resname:>3s} {chain[:1]}{resseq:>4d}{icode}   "
+            f"{x:8.3f}{y:8.3f}{z:8.3f}{1.0:6.2f}{0.0:6.2f}          "
+            f"{element:>2s}")
+
+
+def parse_mmcif_atoms(path) -> List[PdbAtom]:
+    """Parse the `_atom_site` loop of an mmCIF file into `PdbAtom`s.
+
+    Minimal by design: whitespace-tokenized rows with single/double-quote
+    handling, first model only, first altloc only — the subset the
+    inference path needs (biopython's MMCIFParser equivalent for pocket
+    selection). `line` is a reconstructed PDB record so pocket.pdb can be
+    written from an mmCIF source.
+    """
+    cols: List[str] = []
+    atoms: List[PdbAtom] = []
+    in_loop = False
+
+    def tokens(s: str) -> List[str]:
+        out, i, n = [], 0, len(s)
+        while i < n:
+            c = s[i]
+            if c.isspace():
+                i += 1
+            elif c in "'\"":
+                j = s.find(c, i + 1)
+                j = n if j < 0 else j
+                out.append(s[i + 1:j])
+                i = j + 1
+            else:
+                j = i
+                while j < n and not s[j].isspace():
+                    j += 1
+                out.append(s[i:j])
+                i = j
+        return out
+
+    with open(path) as f:
+        for raw in f:
+            line = raw.strip()
+            if line.startswith("loop_"):
+                cols, in_loop = [], True
+                continue
+            if in_loop and line.startswith("_"):
+                cols.append(line.split()[0])
+                continue
+            if in_loop and cols and not all(
+                    c.startswith("_atom_site.") for c in cols):
+                in_loop = False
+                cols = []
+            if not (in_loop and cols):
+                continue
+            if not line or line.startswith(("#", "_")):
+                if line.startswith("#"):
+                    in_loop = False
+                continue
+            row = tokens(line)
+            if len(row) != len(cols):
+                continue
+            rec = dict(zip((c.split(".", 1)[1] for c in cols), row))
+            group = rec.get("group_PDB", "ATOM")
+            if group not in ("ATOM", "HETATM"):
+                continue
+            model = rec.get("pdbx_PDB_model_num", "1")
+            if model not in ("1", ".", "?"):
+                continue
+            alt = rec.get("label_alt_id", ".")
+            if alt not in (".", "?", "A"):
+                continue
+            name = rec.get("auth_atom_id", rec.get("label_atom_id", ""))
+            resname = rec.get("auth_comp_id", rec.get("label_comp_id", ""))
+            chain = rec.get("auth_asym_id", rec.get("label_asym_id", " "))
+            seq = rec.get("auth_seq_id", rec.get("label_seq_id", "0"))
+            icode = rec.get("pdbx_PDB_ins_code", "?")
+            icode = " " if icode in (".", "?") else icode
+            x = float(rec["Cartn_x"])
+            y = float(rec["Cartn_y"])
+            z = float(rec["Cartn_z"])
+            element = rec.get("type_symbol", "")
+            element = (element.capitalize() if element not in (".", "?", "")
+                       else _element_from_name(f" {name:<3s}"))
+            serial = len(atoms) + 1
+            atoms.append(PdbAtom(
+                record=group, name=name, resname=resname, chain=chain[:1],
+                resseq=int(seq), icode=icode, x=x, y=y, z=z, element=element,
+                line=_pdb_line_from_fields(group, serial, name, " ", resname,
+                                           chain, int(seq), icode, x, y, z,
+                                           element.upper()),
+            ))
+    if not atoms:
+        raise ValueError(f"no _atom_site records found in {path}")
+    return atoms
+
+
+def parse_structure_atoms(path) -> List[PdbAtom]:
+    """Dispatch on suffix: .pdb -> fixed columns, .mmcif/.cif -> atom_site."""
+    suffix = str(path).lower()
+    if suffix.endswith((".mmcif", ".cif")):
+        return parse_mmcif_atoms(path)
+    return parse_pdb_atoms(path)
+
+
 def parse_sdf_coords(path, remove_hydrogen: bool = False) -> np.ndarray:
     """Atom positions [N, 3] from the first molecule of an SDF (V2000)."""
     with open(path) as f:

@@ -128,6 +128,78 @@ def test_write_pdb_roundtrip(pdb_file, tmp_path):
     assert [a.line for a in again] == [a.line for a in atoms]
 
 
+@pytest.fixture
+def mmcif_file(tmp_path):
+    """Hand-built atom_site loop mirroring the PDB fixture's chain A, plus
+    a second model, an altloc-B row, and a preceding non-atom loop that
+    the parser must skip."""
+    rows = []
+    serial = 1
+    for resseq, resname, cx in ((1, "ALA", 0.0), (2, "GLY", 3.0)):
+        for j, (nm, el) in enumerate([("N", "N"), ("CA", "C"),
+                                      ("C", "C"), ("O", "O")]):
+            rows.append(f"ATOM {serial} {el} {nm} . {resname} A {resseq} ? "
+                        f"{cx + 0.3 * j:.3f} 0.000 {0.5 * j:.3f} 1")
+            serial += 1
+    rows.append(f"ATOM {serial} C CB B ALA A 1 ? 9.900 9.900 9.900 1")
+    rows.append("ATOM 999 C CA . ALA A 1 ? 77.000 77.000 77.000 2")
+    text = "\n".join([
+        "data_test",
+        "loop_",
+        "_entity.id",
+        "_entity.type",
+        "1 polymer",
+        "#",
+        "loop_",
+        "_atom_site.group_PDB",
+        "_atom_site.id",
+        "_atom_site.type_symbol",
+        "_atom_site.auth_atom_id",
+        "_atom_site.label_alt_id",
+        "_atom_site.auth_comp_id",
+        "_atom_site.auth_asym_id",
+        "_atom_site.auth_seq_id",
+        "_atom_site.pdbx_PDB_ins_code",
+        "_atom_site.Cartn_x",
+        "_atom_site.Cartn_y",
+        "_atom_site.Cartn_z",
+        "_atom_site.pdbx_PDB_model_num",
+    ] + rows + ["#"])
+    path = tmp_path / "rec.mmcif"
+    path.write_text(text + "\n")
+    return path
+
+
+def test_parse_mmcif_matches_pdb_semantics(mmcif_file):
+    from pharmaforge_tpu.preprocessing.structure import parse_mmcif_atoms
+
+    atoms = parse_mmcif_atoms(mmcif_file)
+    # first model only, altloc B dropped, both residues present
+    assert len(atoms) == 8
+    assert not any(a.x == 9.9 for a in atoms)
+    assert all(a.x < 70 for a in atoms)
+    keys = {(a.chain, a.resseq, a.resname) for a in atoms}
+    assert keys == {("A", 1, "ALA"), ("A", 2, "GLY")}
+    ca = next(a for a in atoms if a.name == "CA" and a.resseq == 1)
+    assert ca.element == "C"
+    np.testing.assert_allclose([ca.x, ca.y, ca.z], [0.3, 0.0, 0.5],
+                               atol=1e-6)
+
+
+def test_mmcif_pocket_roundtrip(mmcif_file, sdf_file, tmp_path):
+    """mmCIF receptor through the fallback pocket path; pocket.pdb written
+    from the reconstructed PDB records parses back cleanly."""
+    from generate_pharmacophores import process_ligand_and_pocket
+
+    pocket = process_ligand_and_pocket(
+        mmcif_file, tmp_path, prot_element_map=ELEMENT_MAP,
+        pocket_cutoff=8.0, lig_file=sdf_file, remove_hydrogen=True)
+    assert pocket["prot_x"].shape == (8, 3)
+    saved = parse_pdb_atoms(tmp_path / "pocket.pdb")
+    assert {(a.chain, a.resseq) for a in saved} == {("A", 1), ("A", 2)}
+    assert {a.element for a in saved} == {"N", "C", "O"}
+
+
 def test_parse_sdf_coords(sdf_file):
     xyz = parse_sdf_coords(sdf_file)
     assert xyz.shape == (4, 3)
