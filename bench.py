@@ -185,6 +185,11 @@ def main():
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+    import os
+    if os.environ.get("JAX_PLATFORMS"):
+        # honor the env var even on hosts whose site hook re-selects a TPU
+        # plugin after import (lets CI smoke the bench on CPU)
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     model, batch, group, prot_x, prot_h, sizes = build_workload(args)
     params = model.init_params(jax.random.key(0), batch)
