@@ -34,3 +34,27 @@ def test_bench_quick_contract():
     for key in ("spread_min", "spread_max", "chain_latency_ms",
                 "mfu_vs_bf16_peak"):
         assert key in rec
+
+
+def test_graft_entry_contract():
+    """The driver compile-checks `__graft_entry__.entry()` single-chip;
+    make that contract CI-visible too."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_compilation_cache_dir',"
+        " '/tmp/pharmaforge_jax_cache')\n"
+        "import __graft_entry__ as g\n"
+        "fn, args = g.entry()\n"
+        "out = jax.jit(fn)(*args)\n"
+        "jax.block_until_ready(out)\n"
+        "import numpy as np\n"
+        "assert np.isfinite(float(out))\n"
+        "print('entry ok', float(out))\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                         capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "entry ok" in out.stdout
