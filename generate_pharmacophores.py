@@ -26,7 +26,7 @@ from pharmaforge_tpu.training.restore import load_model, resolve_run_dir
 from pharmaforge_tpu.training.sampling import PocketSampler
 from pharmaforge_tpu.utils.misc import (
     get_prot_atom_ph_type_maps,
-    set_matmul_precision,
+    setup_jax,
 )
 
 
@@ -289,7 +289,7 @@ def process_ligand_and_pocket(rec_file: Path, output_dir: Path,
 
 def main():
     args = parse_arguments()
-    set_matmul_precision(args.matmul_precision)
+    setup_jax(args.matmul_precision)
 
     output_dir = Path(args.output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)

@@ -83,6 +83,31 @@ class SampleAnalyzer:
             valid_denominator += ph.n_ph_centers
         return {"validity": valid_numerator / max(valid_denominator, 1)}
 
+    def analyze_per_type(self, sample: List[SampledPharmacophore]) -> dict:
+        """EXTENSION beyond the reference: validity broken down by
+        generated-center type. Returns {'validity_<Type>': fraction of
+        generated <Type> centers that found a complementary receptor site,
+        'count_<Type>': how many such centers were generated}. The overall
+        'validity' from `analyze` is the count-weighted mean of these."""
+        num = {t: 0 for t in MATCHING_TYPES}
+        den = {t: 0 for t in MATCHING_TYPES}
+        for ph in sample:
+            if ph.prot_ph_pos is None or ph.prot_ph_types is None:
+                raise ValueError(
+                    "sample lacks receptor pharmacophore sites (prot_ph); "
+                    "validity is only computable for dataset pockets")
+            for i, t in enumerate(ph.ph_types):
+                den[t] += 1
+                num[t] += compute_complementarity(
+                    pharm_types=[t], pharm_pos=ph.ph_coords[i:i + 1],
+                    prot_ph_types=ph.prot_ph_types,
+                    prot_ph_pos=ph.prot_ph_pos, return_count=True)
+        out = {}
+        for t in MATCHING_TYPES:
+            out[f"validity_{t}"] = num[t] / max(den[t], 1)
+            out[f"count_{t}"] = den[t]
+        return out
+
     def pharm_feat_freq(self, sample: List[SampledPharmacophore]) -> np.ndarray:
         """Per-type counts over all sampled centers
         (reference metrics.py:37-51)."""

@@ -27,6 +27,29 @@ def set_matmul_precision(precision: str = "float32") -> None:
     jax.config.update("jax_default_matmul_precision", precision)
 
 
+def setup_jax(matmul_precision: str = None) -> None:
+    """Common CLI jax setup.
+
+    * persistent compilation cache (dir overridable via
+      PHARMAFORGE_JAX_CACHE) — single-core hosts otherwise pay minutes of
+      recompilation on every invocation;
+    * honor JAX_PLATFORMS through jax.config: on hosts whose site hook
+      re-selects a TPU plugin after import, the env var alone does not
+      stick, which silently breaks CPU-only runs;
+    * optional matmul precision policy.
+    """
+    import os
+
+    import jax
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("PHARMAFORGE_JAX_CACHE", "/tmp/pharmaforge_jax_cache"))
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    if matmul_precision:
+        set_matmul_precision(matmul_precision)
+
+
 def get_prot_atom_ph_type_maps(dataset_config: dict):
     """Element/type name -> index maps (reference
     utils/unorganized_utils.py:97-106). `other` maps one past the known

@@ -24,7 +24,7 @@ from pharmaforge_tpu.constants import PH_IDX_TO_TYPE
 from pharmaforge_tpu.models.size_dist import PharmSizeDistribution
 from pharmaforge_tpu.training.restore import load_model, resolve_run_dir
 from pharmaforge_tpu.training.sampling import PocketSampler
-from pharmaforge_tpu.utils.misc import set_matmul_precision
+from pharmaforge_tpu.utils.misc import setup_jax
 
 
 def parse_arguments():
@@ -77,7 +77,7 @@ def parse_arguments():
 
 def main():
     args = parse_arguments()
-    set_matmul_precision(args.matmul_precision)
+    setup_jax(args.matmul_precision)
 
     run_dir, which = resolve_run_dir(args.ckpt, args.model_dir)
     output_dir = args.output_dir or (run_dir / 'samples')
@@ -204,8 +204,13 @@ def main():
                 f.write(pharm_file_content)
 
     if args.metrics:
-        metrics = SampleAnalyzer().analyze(all_pharms)
+        analyzer = SampleAnalyzer()
+        metrics = analyzer.analyze(all_pharms)
         print(metrics)
+        # per-type breakdown (extension beyond the reference's single
+        # number; appended after the parity line so existing parsers of
+        # metrics.txt keep working)
+        metrics.update(analyzer.analyze_per_type(all_pharms))
         with open(output_dir / 'metrics.txt', 'w') as f:
             f.write('\n'.join(f'{k}: {v:.3f}' for k, v in metrics.items()))
         with open(output_dir / 'metrics.pkl', 'wb') as f:

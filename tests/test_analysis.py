@@ -84,6 +84,22 @@ def test_analyzer_validity_and_freq(rng):
         SampleAnalyzer().analyze([make_pharm(rng, with_prot_ph=False)])
 
 
+def test_per_type_breakdown_consistent_with_overall(rng):
+    """The count-weighted mean of the per-type validities must equal the
+    overall validity (they partition the same centers)."""
+    from pharmaforge_tpu.analysis.metrics import MATCHING_TYPES
+
+    pharms = [make_pharm(rng, n=6) for _ in range(4)]
+    analyzer = SampleAnalyzer()
+    overall = analyzer.analyze(pharms)["validity"]
+    per_type = analyzer.analyze_per_type(pharms)
+    num = sum(per_type[f"validity_{t}"] * per_type[f"count_{t}"]
+              for t in MATCHING_TYPES)
+    den = sum(per_type[f"count_{t}"] for t in MATCHING_TYPES)
+    assert den == 24
+    np.testing.assert_allclose(num / den, overall, atol=1e-9)
+
+
 def test_from_batch_splits_rows(rng):
     out = {
         "pharm_x": rng.normal(size=(2, 8, 3)),

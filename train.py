@@ -61,6 +61,9 @@ def maybe_make_synthetic(config: dict) -> None:
 if __name__ == '__main__':
     args = parse_arguments()
 
+    from pharmaforge_tpu.utils.misc import setup_jax
+    setup_jax()
+
     ckpt_resume = None
     if args.resume is not None:
         if args.resume.is_dir():
