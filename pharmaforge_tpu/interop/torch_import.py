@@ -143,11 +143,95 @@ def export_torch_state_dict(params: dict, config) -> Dict[str, np.ndarray]:
     return out
 
 
+def config_from_hyper_parameters(hparams: dict):
+    """Reference PL `hyper_parameters` dict -> DiffusionConfig.
+
+    The reference embeds its ctor kwargs in the checkpoint via
+    `save_hyperparameters()` (pharmacodiff.py:78): top-level diffusion
+    keys plus nested `graph_config` (= config['graph']) and
+    `dynamics_config` (= config['dynamics']) — see the factory wiring in
+    reference config_utils/load_from_config.py:16-30. Vestigial keys the
+    reference itself swallows (`rl_dist_threshold` etc.) are ignored here
+    the same way.
+    """
+    from pharmaforge_tpu.models.diffusion import DiffusionConfig
+
+    kwargs = {}
+    for k in ("pharm_nf", "rec_nf", "n_timesteps", "precision",
+              "pharm_feat_norm_constant", "endpoint_param_feat",
+              "endpoint_param_coord", "weighted_loss", "remove_com"):
+        if k in hparams:
+            kwargs[k] = hparams[k]
+    for k in ("vector_size", "n_convs", "n_hidden_scalars", "message_norm",
+              "n_message_gvps", "n_update_gvps", "n_noise_gvps", "dropout",
+              "ff_k", "pf_k"):
+        if k in (hparams.get("dynamics_config") or {}):
+            kwargs[k] = hparams["dynamics_config"][k]
+    cutoffs = (hparams.get("graph_config") or {}).get("graph_cutoffs")
+    if cutoffs:
+        kwargs["graph_cutoffs"] = tuple(
+            (str(k), float(v)) for k, v in dict(cutoffs).items())
+    return DiffusionConfig(**kwargs)
+
+
+def _checkpoint_to_numpy_state(ckpt) -> Dict[str, np.ndarray]:
+    state = ckpt.get("state_dict", ckpt)
+    return {k: v.detach().cpu().numpy() for k, v in state.items()
+            if hasattr(v, "detach")}
+
+
+def _check_gamma_table(np_state: Dict[str, np.ndarray], config,
+                       atol: float = 1e-6) -> None:
+    """Cross-check the checkpoint's saved noise-schedule buffer against the
+    table this framework builds for `config` — a shape/hparam mismatch here
+    means the imported weights would be run under the WRONG schedule."""
+    saved = np_state.get("gamma.gamma")
+    if saved is None:  # not a PL PharmacophoreDiff checkpoint; nothing to do
+        return
+    from pharmaforge_tpu.models.schedules import make_gamma_table
+    ours = make_gamma_table(config.noise_schedule, config.n_timesteps,
+                            precision=config.precision)
+    saved = np.asarray(saved, np.float64).reshape(-1)
+    if saved.shape != np.asarray(ours).shape:
+        raise ValueError(
+            f"checkpoint gamma table has {saved.shape[0] - 1} timesteps but "
+            f"the config says n_timesteps={config.n_timesteps}")
+    if not np.allclose(saved, ours, atol=atol):
+        raise ValueError(
+            "checkpoint gamma table does not match the "
+            f"{config.noise_schedule} schedule at precision="
+            f"{config.precision} (max abs diff "
+            f"{np.abs(saved - ours).max():.3e})")
+
+
 def load_torch_checkpoint(path: str, config) -> dict:
-    """Load a reference PL .ckpt file (requires torch) and convert."""
+    """Load a reference PL .ckpt file (requires torch) and convert to a
+    flax params tree for `config`. Validates the checkpoint's saved
+    noise-schedule table against `config` when present."""
     import torch
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    state = ckpt.get("state_dict", ckpt)
-    np_state = {k: v.detach().cpu().numpy() for k, v in state.items()
-                if hasattr(v, "detach")}
+    np_state = _checkpoint_to_numpy_state(ckpt)
+    _check_gamma_table(np_state, config)
     return import_torch_state_dict(np_state, config)
+
+
+def model_from_torch_checkpoint(path: str):
+    """Load a reference PL .ckpt and build the full model from its embedded
+    hyperparameters: returns (PharmacophoreDiffusion, params). This is the
+    one-call path a reference user takes to serve their trained checkpoint
+    on TPU (reference contract: `load_from_checkpoint`, test.py:113-115)."""
+    import torch
+
+    from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    hparams = ckpt.get("hyper_parameters")
+    if hparams is None:
+        raise ValueError(
+            f"{path} has no 'hyper_parameters' entry; pass an explicit "
+            f"config to load_torch_checkpoint instead")
+    config = config_from_hyper_parameters(dict(hparams))
+    np_state = _checkpoint_to_numpy_state(ckpt)
+    _check_gamma_table(np_state, config)
+    params = import_torch_state_dict(np_state, config)
+    return PharmacophoreDiffusion(config), params

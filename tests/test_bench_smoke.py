@@ -34,6 +34,10 @@ def test_bench_quick_contract():
     for key in ("spread_min", "spread_max", "chain_latency_ms",
                 "mfu_vs_bf16_peak"):
         assert key in rec
+    # BASELINE.json names TWO metrics; the driver captures only bench.py's
+    # single JSON line, so train steps/sec rides along as an extra
+    assert rec["train_steps_per_sec"] > 0
+    assert rec["train_step_device_ms"] > 0
 
 
 def test_graft_entry_contract():
