@@ -29,8 +29,18 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
 
 
 def replicate(tree, mesh: Mesh):
-    """Place a pytree fully replicated over the mesh."""
+    """Place a pytree fully replicated over the mesh.
+
+    Multi-process (jax.distributed): every process must pass identical
+    host data (e.g. params built from the same seed); the global replicated
+    array is assembled from each process's local copy without cross-host
+    transfers.
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), tree)
     return jax.device_put(tree, sharding)
 
 
