@@ -59,6 +59,68 @@ def _thin_points(pts: np.ndarray, min_dist: float) -> np.ndarray:
     return np.asarray(kept)
 
 
+def make_synthetic_pocket(rng, center, n_prot, n_prot_elements=11):
+    """Pocket atoms in a shell of radius 4-12 A around the cavity, thinned
+    to a protein-like minimum heavy-atom spacing so local degree at the
+    3.5 A pp cutoff stays realistic (~<= 14). Returns (positions, elements)."""
+    dirs = rng.normal(size=(n_prot, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    radii = rng.uniform(4.0, 12.0, size=(n_prot, 1))
+    p_pos = (center + dirs * radii
+             + rng.normal(scale=0.6, size=(n_prot, 3)))
+    p_pos = _thin_points(p_pos, min_dist=1.7)
+    p_elem = rng.integers(0, n_prot_elements, size=len(p_pos))
+    return p_pos, p_elem
+
+
+def make_sites_and_pharms(rng, center, p_pos, p_elem, n_pharm, n_prot_ph,
+                          n_ph_types=6, site_rule="random"):
+    """The conditional part of the generator: site selection + pharm
+    placement given a fixed pocket. Exposed separately so the Bayes-optimal
+    validity ceiling of the synthetic task can be measured by resampling
+    this conditional for the SAME pocket (scripts/validity_ceiling.py):
+    with site_rule='random' the site subset `src` is unobservable from the
+    model's inputs (pocket atoms + elements only), so no pocket-conditioned
+    model can beat a resample of this function evaluated against the
+    original sites — measured ceiling ~0.65 (evidence/validity_ceiling/).
+
+    site_rule='deterministic' instead derives BOTH the site count and the
+    site atoms from the pocket alone (the atoms nearest the cavity center),
+    making the sites fully inferable and pushing the task's validity
+    ceiling to ~1.0 — the variant to use when validity should measure
+    learning with real dynamic range.
+
+    Returns (site_pos, site_type, pharm_pos, pharm_type)."""
+    n_prot = len(p_pos)
+    # receptor pharmacophore sites: projections of pocket atoms toward the
+    # cavity; site type is a fixed function of element
+    if site_rule == "deterministic":
+        n_prot_ph = min(max(6, n_prot // 9), 40, n_prot)
+        src = np.argsort(np.linalg.norm(p_pos - center, axis=1))[:n_prot_ph]
+    elif site_rule == "random":
+        n_prot_ph = min(n_prot_ph, n_prot)
+        src = rng.choice(n_prot, size=n_prot_ph, replace=False)
+    else:
+        raise ValueError(f"unknown site_rule {site_rule!r}")
+    toward = center - p_pos[src]
+    toward /= np.linalg.norm(toward, axis=1, keepdims=True)
+    q_pos = (p_pos[src] + 1.5 * toward
+             + rng.normal(scale=0.3, size=(n_prot_ph, 3)))
+    q_type = p_elem[src] % n_ph_types
+
+    # ground-truth pharm centers: complementary to the sites nearest the
+    # cavity center (where a ligand would sit)
+    order = np.argsort(np.linalg.norm(q_pos - center, axis=1))
+    pick = order[rng.integers(0, max(len(order) // 2, 1), size=n_pharm)]
+    f_type = SITE_TO_PHARM_TYPE[q_type[pick]]
+    inward = center - q_pos[pick]
+    inward /= np.linalg.norm(inward, axis=1, keepdims=True)
+    dist = rng.uniform(1.0, PHARM_TYPE_MAX_DIST[f_type] - 0.7)
+    f_pos = (q_pos[pick] + dist[:, None] * inward
+             + rng.normal(scale=0.2, size=(n_pharm, 3)))
+    return q_pos, q_type, f_pos, f_type
+
+
 def make_synthetic_processed_dataset(
         out_dir: str,
         n_splits: int = 3,
@@ -68,7 +130,8 @@ def make_synthetic_processed_dataset(
         n_prot_ph_range=(6, 40),
         n_prot_elements: int = 11,
         n_ph_types: int = 6,
-        seed: int = 0) -> Path:
+        seed: int = 0,
+        site_rule: str = "random") -> Path:
     out = Path(out_dir)
     rng = np.random.default_rng(seed)
     for split in range(n_splits):
@@ -85,39 +148,11 @@ def make_synthetic_processed_dataset(
             n_pharm = int(rng.integers(*n_pharm_range))
             n_prot_ph = min(int(rng.integers(*n_prot_ph_range)), n_prot)
 
-            # pocket atoms in a shell of radius 4-12 A around the cavity,
-            # thinned to a protein-like minimum heavy-atom spacing so local
-            # degree at the 3.5 A pp cutoff stays realistic (~<= 14)
-            dirs = rng.normal(size=(n_prot, 3))
-            dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-            radii = rng.uniform(4.0, 12.0, size=(n_prot, 1))
-            p_pos = (center + dirs * radii
-                     + rng.normal(scale=0.6, size=(n_prot, 3)))
-            p_pos = _thin_points(p_pos, min_dist=1.7)
-            n_prot = len(p_pos)
-            p_elem = rng.integers(0, n_prot_elements, size=n_prot)
-
-            # receptor pharmacophore sites: projections of pocket atoms
-            # toward the cavity; site type is a fixed function of element
-            n_prot_ph = min(n_prot_ph, n_prot)
-            src = rng.choice(n_prot, size=n_prot_ph, replace=False)
-            toward = center - p_pos[src]
-            toward /= np.linalg.norm(toward, axis=1, keepdims=True)
-            q_pos = (p_pos[src] + 1.5 * toward
-                     + rng.normal(scale=0.3, size=(n_prot_ph, 3)))
-            q_type = p_elem[src] % n_ph_types
-
-            # ground-truth pharm centers: complementary to the sites
-            # nearest the cavity center (where a ligand would sit)
-            order = np.argsort(np.linalg.norm(q_pos - center, axis=1))
-            pick = order[rng.integers(0, max(len(order) // 2, 1),
-                                      size=n_pharm)]
-            f_type = SITE_TO_PHARM_TYPE[q_type[pick]]
-            inward = center - q_pos[pick]
-            inward /= np.linalg.norm(inward, axis=1, keepdims=True)
-            dist = rng.uniform(1.0, PHARM_TYPE_MAX_DIST[f_type] - 0.7)
-            f_pos = (q_pos[pick] + dist[:, None] * inward
-                     + rng.normal(scale=0.2, size=(n_pharm, 3)))
+            p_pos, p_elem = make_synthetic_pocket(rng, center, n_prot,
+                                                  n_prot_elements)
+            q_pos, q_type, f_pos, f_type = make_sites_and_pharms(
+                rng, center, p_pos, p_elem, n_pharm, n_prot_ph, n_ph_types,
+                site_rule=site_rule)
 
             pharm_pos.append(f_pos.astype(np.float32))
             pharm_feat.append(f_type.astype(np.int32))

@@ -54,8 +54,12 @@ def maybe_make_synthetic(config: dict) -> None:
     n_splits = 3
     per_split = max(int(np.ceil((ds.get('dataset_size') or 96) / n_splits)),
                     8)
-    make_synthetic_processed_dataset(processed, n_splits=n_splits,
-                                     samples_per_split=per_split)
+    # site_rule 'deterministic' makes receptor sites fully inferable from
+    # the pocket, giving the validity metric real dynamic range (ceiling
+    # ~1.0 vs ~0.65 for 'random'; see scripts/validity_ceiling.py)
+    make_synthetic_processed_dataset(
+        processed, n_splits=n_splits, samples_per_split=per_split,
+        site_rule=ds.get('synthetic_site_rule', 'random'))
 
 
 if __name__ == '__main__':
