@@ -37,6 +37,25 @@ def element_fixer(element: str) -> str:
     return element
 
 
+def parse_pharmit_json(text: str) -> dict:
+    """Parse a pharmit `ph.json` document, tolerating the quirk where some
+    outputs contain a SECOND concatenated JSON object — only the first is
+    the pharmacophore (reference process_crossdocked.py:75-79). Returns the
+    decoded dict (with its 'points' list)."""
+    return json.JSONDecoder().raw_decode(text)[0]
+
+
+def pharmit_points(ph: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """(coords [N,3], type indices [N]) of the ENABLED points of a parsed
+    pharmit document; empty arrays when there are none."""
+    pts = [p for p in ph.get("points", []) if p["enabled"]]
+    if not pts:
+        return np.zeros((0, 3)), np.zeros((0,), int)
+    coords = np.array([(p["x"], p["y"], p["z"]) for p in pts])
+    kinds = np.array([PH_TYPE_TO_IDX[p["name"]] for p in pts])
+    return coords, kinds
+
+
 def run_pharmit(rec_path: str, lig_path: str, tmp_dir: str) -> Tuple[np.ndarray, np.ndarray]:
     """Ligand pharmacophore extraction through the pharmit binary
     (reference process_crossdocked.py:71-87)."""
@@ -44,17 +63,9 @@ def run_pharmit(rec_path: str, lig_path: str, tmp_dir: str) -> Tuple[np.ndarray,
     cmd = f"pharmit pharma -receptor {rec_path} -in {lig_path} -out {phfile}"
     subprocess.check_call(cmd, shell=True)
 
-    # some outputs contain a second JSON object — take the first
-    decoder = json.JSONDecoder()
-    ph = decoder.raw_decode(open(phfile).read())[0]
-
-    if ph["points"]:
-        coords = np.array([(p["x"], p["y"], p["z"]) for p in ph["points"]
-                           if p["enabled"]])
-        kinds = np.array([PH_TYPE_TO_IDX[p["name"]] for p in ph["points"]
-                          if p["enabled"]])
-    else:
-        coords, kinds = [], []
+    coords, kinds = pharmit_points(parse_pharmit_json(open(phfile).read()))
+    if len(coords) == 0:
+        return [], []
     return coords, kinds
 
 

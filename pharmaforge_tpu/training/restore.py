@@ -61,10 +61,22 @@ def dummy_batch(model: PharmacophoreDiffusion) -> PharmComplexBatch:
 
 def load_model(run_dir: Path, which: str = "last"
                ) -> Tuple[PharmacophoreDiffusion, dict, dict]:
-    """Returns (model, params, config)."""
+    """Returns (model, params, config).
+
+    `which` may also point at a reference PyTorch-Lightning `.ckpt` FILE:
+    the weights are converted through the interop layout
+    (interop/torch_import.py) so a reference user's trained checkpoint is
+    served directly by this framework's CLIs — the drop-in analog of the
+    reference resolving a run dir around the ckpt path (test.py:62-69) and
+    calling `load_from_checkpoint` on the file (test.py:113-115)."""
     run_dir = Path(run_dir)
     config = load_config(run_dir)
     model = model_from_config(config)
+
+    if str(which).endswith(".ckpt") and Path(which).is_file():
+        from pharmaforge_tpu.interop.torch_import import load_torch_checkpoint
+        params = load_torch_checkpoint(str(which), model.config)
+        return model, params, config
 
     template_params = jax.device_get(
         model.init_params(jax.random.key(0), dummy_batch(model)))

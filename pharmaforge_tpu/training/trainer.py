@@ -17,6 +17,7 @@ Covers the orchestration surface the reference delegates to PL
 
 from __future__ import annotations
 
+import sys
 import time
 from pathlib import Path
 from typing import Optional
@@ -137,6 +138,37 @@ class Trainer:
         self.last_sample_marker = 0.0
         self.last_val_marker = 0.0
         self._resume_state = None
+        # per-step progress line cadence (reference TQDMProgressBar,
+        # train.py:143-148: refresh every 20 steps, every step in --debug)
+        self.progress_refresh = 1 if debug else int(
+            tr.get("progress_refresh", 20))
+        self._progress_width = 0
+        self._progress_live = False
+
+    # ----------------------------------------------------------- progress
+
+    def _progress(self, batch_idx: int, n_batches: int, metrics: dict):
+        """Per-step progress line on stderr: in-place (carriage-return) on a
+        tty, plain lines otherwise. Refresh cadence `progress_refresh`."""
+        r = self.progress_refresh
+        if not r or (batch_idx % r and batch_idx != n_batches - 1):
+            return
+        loss = metrics.get("train total loss", float("nan"))
+        msg = (f"epoch {self.epoch} [{batch_idx + 1}/{n_batches}] "
+               f"train total loss {loss:.4f} lr {self.lr:.2e}")
+        if sys.stderr.isatty():
+            self._progress_width = max(self._progress_width, len(msg))
+            print("\r" + msg.ljust(self._progress_width), end="",
+                  file=sys.stderr, flush=True)
+            self._progress_live = True
+        else:
+            print(msg, file=sys.stderr, flush=True)
+
+    def _progress_close(self):
+        """Finish an in-place progress line before other prints."""
+        if self._progress_live:
+            print(file=sys.stderr, flush=True)
+            self._progress_live = False
 
     # ----------------------------------------------------------------- fit
 
@@ -210,6 +242,7 @@ class Trainer:
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(k, []).append(v)
                 self.logger.log(metrics, step=self.global_step)
+                self._progress(batch_idx, n_batches, metrics)
 
                 # train-time generative eval (pharmacodiff.py:281-284)
                 if (self.sample_interval > 0 and
@@ -293,6 +326,7 @@ class Trainer:
             self.lr = self.plateau.step(val_metrics["val total loss"], self.lr)
             self.epoch += 1
 
+            self._progress_close()
             dt = time.time() - epoch_t0
             steps_per_sec = (batch_idx + 1) / dt if dt > 0 else 0.0
             train_loss = np.mean(epoch_metrics.get("train total loss", [0.0]))

@@ -214,6 +214,42 @@ def test_checkpoint_without_hparams_needs_explicit_config(rng, tmp_path):
     assert jax.tree_util.tree_structure(loaded) is not None
 
 
+def test_load_model_serves_reference_pl_ckpt(rng, tmp_path):
+    """The CLI restore path (training/restore.py::load_model) accepts a
+    reference PL .ckpt FILE as `which`, converting the weights through the
+    interop layout — the drop-in contract: a reference user points
+    test.py/generate_pharmacophores.py --ckpt at their trained PL file
+    (reference test.py:62-69,113-115)."""
+    import yaml
+
+    from pharmaforge_tpu.config.load_from_config import model_from_config
+    from pharmaforge_tpu.training.restore import load_model, resolve_run_dir
+    from tests.test_e2e_train import tiny_config as yaml_tiny_config
+
+    config = yaml_tiny_config(tmp_path)
+    run_dir = tmp_path / "runs" / "ref_run"
+    ckpt_dir = run_dir / "checkpoints"
+    ckpt_dir.mkdir(parents=True)
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.dump(config, f)
+
+    model = model_from_config(config)
+    batch = make_complex_batch(rng, p=24, p_valid=(20, 16))
+    params = jax.device_get(model.init_params(jax.random.key(5), batch))
+    ckpt_path = _write_pl_checkpoint(ckpt_dir, model.config, params)
+    assert ckpt_path == ckpt_dir / "last.ckpt"
+
+    # the CLI flag resolution: --ckpt <file> -> (run_dir, which=file)
+    resolved_dir, which = resolve_run_dir(ckpt_path, None)
+    assert resolved_dir == run_dir
+
+    model2, loaded, cfg2 = load_model(resolved_dir, which)
+    t1, _ = model.loss(params, batch, jax.random.key(0), train=False)
+    t2, _ = model2.loss(loaded, batch, jax.random.key(0), train=False)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+    assert cfg2["dynamics"]["n_convs"] == 1
+
+
 def test_config_from_hyper_parameters_defaults():
     """Missing optional keys fall back to DiffusionConfig defaults; nested
     sections may be absent entirely."""

@@ -260,3 +260,43 @@ def test_pipeline_roundtrip_and_train(raw_tree, tmp_path):
     train_step = make_train_step(model, optimizer, donate=False)
     state, aux = train_step(state, batch, jax.random.key(1), 1e-3)
     assert np.isfinite(float(aux["train total loss"]))
+
+
+def test_parse_pharmit_json_double_object_quirk():
+    """Some pharmit outputs concatenate a second JSON object after the
+    pharmacophore (reference process_crossdocked.py:75-79); parsing must
+    take the first and keep only enabled points."""
+    import json
+
+    from pharmaforge_tpu.preprocessing.crossdocked import (
+        parse_pharmit_json, pharmit_points)
+
+    doc = json.dumps({"points": [
+        {"name": "Aromatic", "x": 1.0, "y": 2.0, "z": 3.0, "enabled": True},
+        {"name": "Hydrophobic", "x": 0.0, "y": 0.0, "z": 0.0,
+         "enabled": False},
+        {"name": "NegativeIon", "x": -1.0, "y": 0.5, "z": 2.0,
+         "enabled": True},
+    ]}) + json.dumps({"second": "object"})
+    ph = parse_pharmit_json(doc)
+    coords, kinds = pharmit_points(ph)
+    assert coords.shape == (2, 3)
+    assert kinds.tolist() == [0, 4]  # Aromatic, NegativeIon
+    # empty document -> empty arrays
+    c2, k2 = pharmit_points({"points": []})
+    assert len(c2) == 0 and len(k2) == 0
+
+
+def test_inspect_pharmit_json_example(tmp_path, capsys):
+    """The notebook-analog inspection example runs on real-format files."""
+    import json
+
+    from examples.inspect_pharmit_json import DEMO_DOC, main
+
+    f = tmp_path / "ph.json"
+    f.write_text(DEMO_DOC)
+    main([str(f), "--quiet"])
+    out = capsys.readouterr().out
+    assert "4 enabled / 5 points" in out
+    assert "feature kinds" in out
+    assert "Aromatic" in out
