@@ -157,12 +157,17 @@ def build_workload(args):
         args.max_batch_size = min(args.max_batch_size, 8)
         args.pockets_per_call = min(args.pockets_per_call, 2)
     else:
-        # dev-config model (configs/dev.yml dynamics + T=100)
-        cfg = DiffusionConfig(n_timesteps=100, n_convs=2,
+        # dev-config model (configs/dev.yml dynamics + T=100 by default);
+        # --n_timesteps 1000 + --n_convs 4 measures the full-scale model
+        # (reference defaults: pharmacodiff.py:32, gvp.py n_convs=4)
+        cfg = DiffusionConfig(n_timesteps=args.n_timesteps,
+                              n_convs=args.n_convs,
                               n_hidden_scalars=128, vector_size=16,
                               message_norm="mean", n_message_gvps=3,
                               n_update_gvps=2, n_noise_gvps=4, pf_k=5,
                               pp_k_max=16,
+                              endpoint_param_feat=args.endpoint_param,
+                              endpoint_param_coord=args.endpoint_param,
                               compute_dtype="bfloat16"
                               if args.matmul_precision == "bfloat16"
                               else "float32")
@@ -424,6 +429,14 @@ def main():
     p.add_argument("--samples_per_pocket", type=int, default=30)
     p.add_argument("--max_batch_size", type=int, default=32)
     p.add_argument("--pocket_atoms", type=int, default=230)
+    p.add_argument("--n_timesteps", type=int, default=100,
+                   help="reverse-chain length (dev 100; reference model "
+                        "default 1000)")
+    p.add_argument("--n_convs", type=int, default=2,
+                   help="conv stack depth (dev 2; reference default 4)")
+    p.add_argument("--endpoint_param", action="store_true",
+                   help="endpoint parameterization for both coord and feat "
+                        "(the 'Full endpoint_param training' config)")
     p.add_argument("--repeats", type=int, default=5)
     p.add_argument("--pipeline_depth", type=int, default=16,
                    help="calls enqueued back-to-back per repeat (a "
