@@ -55,12 +55,13 @@ _TRANSIENT_MARKERS = (
     "INTERNAL",
     "remote_compile",
     "DEADLINE_EXCEEDED",
-    "RESOURCE_EXHAUSTED",
     "Socket closed",
     "Connection reset",
     "failed to connect",
     "Bad StatusOr access",
 )
+# NOT transient: RESOURCE_EXHAUSTED (a device OOM is deterministic — a
+# backend reset can never fix it; surface the real error immediately)
 
 
 def supervise(argv, attempts=3, worker_timeout=1800):
@@ -467,16 +468,24 @@ def main():
     p.add_argument("--no_supervisor", action="store_true",
                    help="run in-process (no bounded worker subprocess); "
                         "hangs in backend init then become unrecoverable")
-    p.add_argument("--worker_timeout", type=float, default=1800.0,
+    p.add_argument("--worker_timeout", type=float, default=None,
                    help="seconds before a hung bench worker is killed and "
-                        "respawned")
+                        "respawned (default: 1800 scaled up for non-default "
+                        "chain length / conv depth / torch baseline)")
     args = p.parse_args()
+
+    if args.worker_timeout is None:
+        # a legitimately long measurement must not be mistaken for a hang:
+        # scale the kill budget with the workload the flags describe
+        scale = max(1.0, (args.n_timesteps / 100) * (args.n_convs / 2))
+        args.worker_timeout = 1800.0 * scale
+        if args.measure_torch_baseline:
+            args.worker_timeout += 3600.0
 
     if not args._worker and not args.no_supervisor:
         # supervisor mode: respawn self as a bounded, retriable worker
-        argv = [a for a in sys.argv[1:]
-                if a not in ("--no_supervisor",)]
-        raise SystemExit(supervise(argv, worker_timeout=args.worker_timeout))
+        raise SystemExit(supervise(sys.argv[1:],
+                                   worker_timeout=args.worker_timeout))
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")

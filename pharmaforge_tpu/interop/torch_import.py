@@ -154,7 +154,18 @@ def config_from_hyper_parameters(hparams: dict):
     reference itself swallows (`rl_dist_threshold` etc.) are ignored here
     the same way.
     """
+    from pharmaforge_tpu.constants import PH_IDX_TO_TYPE
     from pharmaforge_tpu.models.diffusion import DiffusionConfig
+
+    # the type ordering is load-bearing (one-hot axis, decode, metrics): a
+    # checkpoint trained under a different ph_type_map would import cleanly
+    # but decode every generated type under the wrong name
+    tmap = hparams.get("ph_type_map")
+    if tmap is not None and list(tmap) != list(PH_IDX_TO_TYPE):
+        raise ValueError(
+            f"checkpoint ph_type_map {list(tmap)} does not match this "
+            f"framework's canonical ordering {list(PH_IDX_TO_TYPE)}; "
+            f"serving it would permute pharmacophore-type semantics")
 
     kwargs = {}
     for k in ("pharm_nf", "rec_nf", "n_timesteps", "precision",

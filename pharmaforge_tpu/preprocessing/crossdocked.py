@@ -46,9 +46,14 @@ def parse_pharmit_json(text: str) -> dict:
 
 
 def pharmit_points(ph: dict) -> Tuple[np.ndarray, np.ndarray]:
-    """(coords [N,3], type indices [N]) of the ENABLED points of a parsed
-    pharmit document; empty arrays when there are none."""
-    pts = [p for p in ph.get("points", []) if p["enabled"]]
+    """(coords [N,3], type indices [N]) of the ENABLED feature points of a
+    parsed pharmit document; empty arrays when there are none.
+
+    Points whose name is not one of the 6 feature types are skipped:
+    pharmit session/query files can carry ExclusionSphere/InclusionSphere
+    points, which are spatial constraints, not pharmacophore features."""
+    pts = [p for p in ph.get("points", [])
+           if p["enabled"] and p["name"] in PH_TYPE_TO_IDX]
     if not pts:
         return np.zeros((0, 3)), np.zeros((0,), int)
     coords = np.array([(p["x"], p["y"], p["z"]) for p in pts])

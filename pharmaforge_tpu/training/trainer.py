@@ -50,13 +50,15 @@ from pharmaforge_tpu.training.train_state import (
 )
 
 
-def _with_retry(fn, *args, retries: int = 2, backoff: float = 15.0, **kwargs):
+def _with_retry(fn, *args, retries: int = 2, backoff: float = 15.0,
+                on_retry=None, **kwargs):
     """Retry transient device/compile-service failures.
 
     On this deployment the compile service lives behind a tunnel that can
     drop a response mid-read (JaxRuntimeError INTERNAL ... remote_compile);
     retrying after a pause recovers. Non-transient errors re-raise after the
-    retry budget.
+    retry budget. `on_retry` runs before the retry message prints (the
+    trainer uses it to finish an in-place progress line).
     """
     import time as _time
     last = None
@@ -71,6 +73,8 @@ def _with_retry(fn, *args, retries: int = 2, backoff: float = 15.0, **kwargs):
             if not transient or attempt == retries:
                 raise
             last = e
+            if on_retry is not None:
+                on_retry()
             print(f"transient device failure ({e}); retrying in {backoff}s "
                   f"({attempt + 1}/{retries})")
             _time.sleep(backoff)
@@ -270,7 +274,8 @@ class Trainer:
                 sharded = shard_batch(batch, self.mesh)
                 key, step_key = jax.random.split(key)
                 state, aux = _with_retry(train_step, state, sharded,
-                                         step_key, self.lr)
+                                         step_key, self.lr,
+                                         on_retry=self._progress_close)
                 after_step(batch_idx, {k: float(v) for k, v in aux.items()})
 
             def run_chunk(entries):
@@ -281,7 +286,8 @@ class Trainer:
                     stack_batches([b for _, b in entries]), self.mesh)
                 key, step_key = jax.random.split(key)
                 state, aux = _with_retry(multi_step, state, stacked,
-                                         step_key, self.lr)
+                                         step_key, self.lr,
+                                         on_retry=self._progress_close)
                 rows = {k: np.asarray(v) for k, v in aux.items()}
                 for j, batch_idx in enumerate(idxs):
                     after_step(batch_idx,

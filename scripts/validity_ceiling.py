@@ -4,21 +4,28 @@ VERDICT r2 weak-spot #3: trained validity plateaus at ~0.50 while the
 *ground-truth* pharmacophores score ~1.0 — but ground truth is graded
 against the SAME site selection that generated it. The model only observes
 the pocket (atom positions + elements); which atoms were chosen as receptor
-sites (`src` in data/synthetic.py::make_sites_and_pharms) is unobservable.
-The correct reference point for a generative model is therefore the
-generator itself with the unobservable part RESAMPLED: draw fresh
-(sites, pharms) for the same pocket and grade the fresh pharms against the
-ORIGINAL sites. No pocket-conditioned model can beat that in expectation —
-it IS the true conditional p(pharm | pocket).
+sites (`src` in data/synthetic.py::make_sites_and_pharms) is unobservable
+under the default random site rule. The correct reference point for a
+generative model is therefore the generator itself with the unobservable
+part RESAMPLED: draw fresh (sites, pharms) for the same pocket and grade
+the fresh pharms against the ORIGINAL sites. No pocket-conditioned model
+can beat that in expectation — it IS the true conditional
+p(pharm | pocket).
 
-Outputs one JSON line:
+Outputs one JSON line and writes it to
+evidence/validity_ceiling/result_<site_rule>.json:
     truth_validity      ~1.0 by construction (sanity)
     bayes_ceiling       mean validity of posterior resamples vs original sites
     type_marginal_floor random in-cavity placement with the marginal type mix
 
-and writes evidence/validity_ceiling/ANALYSIS.md.
+(The accompanying ANALYSIS.md in that directory is hand-written commentary
+on these numbers, not a generated artifact.)
 
 Run: python -m scripts.validity_ceiling [--n_pockets 64] [--resamples 8]
+     [--site_rule deterministic]
+
+`measure()` is importable — tests/test_synthetic_ceiling.py pins the
+ceiling structure through the same code path this script reports.
 """
 
 import argparse
@@ -37,21 +44,15 @@ def names(type_idx):
     return [ph_idx_to_type[int(t)] for t in type_idx]
 
 
-def main():
-    p = argparse.ArgumentParser()
-    p.add_argument("--n_pockets", type=int, default=64)
-    p.add_argument("--resamples", type=int, default=8,
-                   help="posterior draws per pocket")
-    p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--site_rule", default="random",
-                   choices=["random", "deterministic"])
-    args = p.parse_args()
-
-    rng = np.random.default_rng(args.seed)
+def measure(n_pockets=64, resamples=8, seed=0, site_rule="random"):
+    """Returns {"truth": [...], "bayes": [...], "floor": [...]} — per-sample
+    validity lists for the ground truth, the posterior resamples, and the
+    random-placement floor, over `n_pockets` dataset-distribution pockets
+    (make_synthetic_processed_dataset defaults: n_prot 60-360, n_pharm
+    3-12, n_prot_ph 6-40)."""
+    rng = np.random.default_rng(seed)
     truth, bayes, floor = [], [], []
-    # dataset-distribution pocket sizes (make_synthetic_processed_dataset
-    # defaults: n_prot 60-360, n_pharm 3-12, n_prot_ph 6-40)
-    for _ in range(args.n_pockets):
+    for _ in range(n_pockets):
         center = rng.normal(scale=30.0, size=3)
         n_prot = int(rng.integers(60, 360))
         n_pharm = int(rng.integers(3, 12))
@@ -60,17 +61,17 @@ def main():
 
         q_pos, q_type, f_pos, f_type = make_sites_and_pharms(
             rng, center, p_pos, p_elem, n_pharm, n_prot_ph,
-            site_rule=args.site_rule)
+            site_rule=site_rule)
         site_names = names(q_type)
         truth.append(compute_complementarity(
             names(f_type), f_pos, site_names, q_pos))
 
         # Bayes-optimal: resample the conditional (fresh site selection AND
         # fresh pharms) for the SAME pocket, grade against ORIGINAL sites
-        for _ in range(args.resamples):
+        for _ in range(resamples):
             _, _, r_pos, r_type = make_sites_and_pharms(
                 rng, center, p_pos, p_elem, n_pharm, n_prot_ph,
-                site_rule=args.site_rule)
+                site_rule=site_rule)
             bayes.append(compute_complementarity(
                 names(r_type), r_pos, site_names, q_pos))
 
@@ -82,16 +83,29 @@ def main():
         rand_type = rng.integers(0, 6, n_pharm)
         floor.append(compute_complementarity(
             names(rand_type), rand_pos, site_names, q_pos))
+    return {"truth": truth, "bayes": bayes, "floor": floor}
 
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--n_pockets", type=int, default=64)
+    p.add_argument("--resamples", type=int, default=8,
+                   help="posterior draws per pocket")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--site_rule", default="random",
+                   choices=["random", "deterministic"])
+    args = p.parse_args()
+
+    m = measure(args.n_pockets, args.resamples, args.seed, args.site_rule)
     result = {
         "metric": "synthetic-task validity ceiling",
         "site_rule": args.site_rule,
         "n_pockets": args.n_pockets,
         "resamples_per_pocket": args.resamples,
-        "truth_validity": round(float(np.mean(truth)), 4),
-        "bayes_ceiling": round(float(np.mean(bayes)), 4),
-        "bayes_ceiling_std": round(float(np.std(bayes)), 4),
-        "type_marginal_floor": round(float(np.mean(floor)), 4),
+        "truth_validity": round(float(np.mean(m["truth"])), 4),
+        "bayes_ceiling": round(float(np.mean(m["bayes"])), 4),
+        "bayes_ceiling_std": round(float(np.std(m["bayes"])), 4),
+        "type_marginal_floor": round(float(np.mean(m["floor"])), 4),
     }
     print(json.dumps(result))
 

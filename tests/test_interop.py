@@ -250,6 +250,17 @@ def test_load_model_serves_reference_pl_ckpt(rng, tmp_path):
     assert cfg2["dynamics"]["n_convs"] == 1
 
 
+def test_config_from_hyper_parameters_rejects_permuted_type_map():
+    """A checkpoint trained under a different ph_type_map ordering would
+    import cleanly but decode every type under the wrong name — must
+    refuse loudly."""
+    with pytest.raises(ValueError, match="ph_type_map"):
+        config_from_hyper_parameters({
+            "pharm_nf": 6, "rec_nf": 11,
+            "ph_type_map": ["HydrogenDonor", "Aromatic", "HydrogenAcceptor",
+                            "PositiveIon", "NegativeIon", "Hydrophobic"]})
+
+
 def test_config_from_hyper_parameters_defaults():
     """Missing optional keys fall back to DiffusionConfig defaults; nested
     sections may be absent entirely."""

@@ -4,63 +4,47 @@ evidence/validity_ceiling/ANALYSIS.md explains the r2 validity plateau:
 with the default random site selection the Bayes-optimal pocket-conditioned
 model tops out at ~0.65 validity (site subset unobservable), while the
 deterministic site rule makes sites fully inferable (ceiling ~1.0). These
-tests keep both facts true as the generator evolves — if a change silently
-restores an unlearnable ceiling, the evidence protocol breaks.
+tests run the SAME measurement code the evidence protocol uses
+(scripts/validity_ceiling.py::measure) — if a generator change silently
+restores an unlearnable ceiling, or the protocol and this pin drift apart,
+a test fails.
 """
 
 import numpy as np
 
-from pharmaforge_tpu.analysis.metrics import compute_complementarity
-from pharmaforge_tpu.constants import ph_idx_to_type
 from pharmaforge_tpu.data.synthetic import (make_sites_and_pharms,
                                             make_synthetic_pocket)
-
-
-def _names(type_idx):
-    return [ph_idx_to_type[int(t)] for t in type_idx]
-
-
-def _ceiling(site_rule, n_pockets=24, resamples=4, seed=11):
-    rng = np.random.default_rng(seed)
-    truth, bayes = [], []
-    for _ in range(n_pockets):
-        center = rng.normal(scale=30.0, size=3)
-        p_pos, p_elem = make_synthetic_pocket(
-            rng, center, int(rng.integers(60, 360)))
-        n_pharm = int(rng.integers(3, 12))
-        n_prot_ph = int(rng.integers(6, 40))
-        q_pos, q_type, f_pos, f_type = make_sites_and_pharms(
-            rng, center, p_pos, p_elem, n_pharm, n_prot_ph,
-            site_rule=site_rule)
-        truth.append(compute_complementarity(
-            _names(f_type), f_pos, _names(q_type), q_pos))
-        for _ in range(resamples):
-            _, _, r_pos, r_type = make_sites_and_pharms(
-                rng, center, p_pos, p_elem, n_pharm, n_prot_ph,
-                site_rule=site_rule)
-            bayes.append(compute_complementarity(
-                _names(r_type), r_pos, _names(q_type), q_pos))
-    return float(np.mean(truth)), float(np.mean(bayes))
+from scripts.validity_ceiling import measure
 
 
 def test_truth_validity_is_one_both_rules():
     for rule in ("random", "deterministic"):
-        truth, _ = _ceiling(rule, n_pockets=12, resamples=1)
-        assert truth == 1.0, rule
+        m = measure(n_pockets=12, resamples=1, seed=11, site_rule=rule)
+        assert float(np.mean(m["truth"])) == 1.0, rule
 
 
 def test_random_rule_ceiling_is_bounded_away_from_one():
     """The default task has irreducible conditional entropy: the posterior
     resample must score well below 1 (measured 0.65 at n=128)."""
-    _, bayes = _ceiling("random")
+    m = measure(n_pockets=24, resamples=4, seed=11, site_rule="random")
+    bayes = float(np.mean(m["bayes"]))
     assert 0.45 < bayes < 0.85, bayes
 
 
 def test_deterministic_rule_ceiling_is_near_one():
     """The deterministic site rule makes sites inferable from the pocket:
     posterior resamples score ~1 (measured 0.999 at n=128)."""
-    _, bayes = _ceiling("deterministic")
+    m = measure(n_pockets=24, resamples=4, seed=11,
+                site_rule="deterministic")
+    bayes = float(np.mean(m["bayes"]))
     assert bayes > 0.97, bayes
+
+
+def test_floor_below_ceiling_random_rule():
+    """The random-placement floor must stay below the Bayes ceiling, or
+    validity stops discriminating learning from noise at all."""
+    m = measure(n_pockets=24, resamples=4, seed=11, site_rule="random")
+    assert float(np.mean(m["floor"])) < float(np.mean(m["bayes"]))
 
 
 def test_deterministic_sites_are_pocket_functions():
