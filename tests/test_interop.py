@@ -250,6 +250,43 @@ def test_load_model_serves_reference_pl_ckpt(rng, tmp_path):
     assert cfg2["dynamics"]["n_convs"] == 1
 
 
+def test_export_run_to_reference_ckpt_roundtrip(rng, tmp_path):
+    """TPU run dir -> reference-layout .ckpt -> back through the serve
+    path: the full interop circle (scripts/export_torch_ckpt.py is the
+    inverse of `--ckpt <file>.ckpt`)."""
+    import yaml
+
+    from pharmaforge_tpu.config.load_from_config import model_from_config
+    from pharmaforge_tpu.training.checkpoints import RunCheckpointer
+    from pharmaforge_tpu.training.restore import load_model
+    from scripts.export_torch_ckpt import export_run
+    from tests.test_e2e_train import tiny_config as yaml_tiny_config
+
+    config = yaml_tiny_config(tmp_path)
+    run_dir = tmp_path / "runs" / "tpu_run"
+    run_dir.mkdir(parents=True)
+    with open(run_dir / "config.yaml", "w") as f:
+        yaml.dump(config, f)
+
+    model = model_from_config(config)
+    batch = make_complex_batch(rng, p=24, p_valid=(20, 16))
+    params = jax.device_get(model.init_params(jax.random.key(9), batch))
+    RunCheckpointer(run_dir).save({"params": params}, {"step": 1})
+
+    out = export_run(run_dir, which="last")
+    assert out.name == "exported_reference.ckpt"
+
+    # the exported file is a valid PL-layout ckpt: both serve paths accept it
+    model2, loaded = model_from_torch_checkpoint(str(out))
+    t1, _ = model.loss(params, batch, jax.random.key(0), train=False)
+    t2, _ = model2.loss(loaded, batch, jax.random.key(0), train=False)
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-6)
+
+    model3, loaded3, _ = load_model(run_dir, which=str(out))
+    t3, _ = model3.loss(loaded3, batch, jax.random.key(0), train=False)
+    np.testing.assert_allclose(float(t1), float(t3), rtol=1e-6)
+
+
 def test_config_from_hyper_parameters_rejects_permuted_type_map():
     """A checkpoint trained under a different ph_type_map ordering would
     import cleanly but decode every type under the wrong name — must
