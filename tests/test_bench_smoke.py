@@ -40,6 +40,26 @@ def test_bench_quick_contract():
     assert rec["train_step_device_ms"] > 0
 
 
+def test_bench_cpu_fallback_on_dead_platform():
+    """When the requested platform cannot initialize at all, the supervisor
+    must still emit one JSON record — on the CPU backend, marked by the
+    'platform' field — instead of exiting rc=1 with nothing (the round-2
+    failure mode)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "bogus_tpu"
+    env["BENCH_SUPERVISOR_ATTEMPTS"] = "1"
+    out = subprocess.run(
+        [sys.executable, "bench.py", "--quick", "--repeats", "1",
+         "--pipeline_depth", "1", "--skip_train_bench",
+         "--worker_timeout", "300"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rec = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rec["platform"] == "cpu"
+    assert rec["value"] > 0
+    assert "falling back to the CPU backend" in out.stderr
+
+
 def test_graft_entry_contract():
     """The driver compile-checks `__graft_entry__.entry()` single-chip;
     make that contract CI-visible too."""
