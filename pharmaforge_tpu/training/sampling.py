@@ -78,6 +78,11 @@ class PocketSampler:
         """
         n_total = len(pharm_sizes)
         n_chunks = ceil(n_total / max_batch_size)
+        # NB: sizes are sliced PER CHUNK below — the reference instead
+        # reuses the first batch_size entries of pharm_sizes for every
+        # chunk (generate_pharmacophores.py:329-333, test.py:164-168), a
+        # bug that only shows when samples_per_pocket > max_batch_size;
+        # fixed rather than reproduced (SURVEY.md "known quirks").
         sampler = self._sampler(visualize_trajectory)
 
         prot_ph_pos = pocket.get("prot_ph_x")

@@ -177,3 +177,34 @@ def test_sample_multi_pocket_uses_stacked_path():
         for ph, sz in zip(phs, szs):
             assert ph.ph_coords.shape == (sz, 3)
             assert np.isfinite(ph.ph_coords).all()
+
+
+def test_chunked_sampling_honors_per_chunk_sizes(rng):
+    """samples_per_pocket > max_batch_size: each chunk must use ITS slice
+    of pharm_sizes. The reference reuses the first batch_size entries for
+    every chunk (generate_pharmacophores.py:329-333) — a bug we fix, not
+    reproduce."""
+    import jax
+    from pharmaforge_tpu.models.diffusion import (DiffusionConfig,
+                                                  PharmacophoreDiffusion)
+    from pharmaforge_tpu.training.sampling import PocketSampler
+    from pharmaforge_tpu.data.batch import tile_pocket
+
+    cfg = DiffusionConfig(n_timesteps=4, n_convs=1, vector_size=4,
+                          n_hidden_scalars=16, n_message_gvps=1,
+                          n_update_gvps=1, n_noise_gvps=1, pf_k=4,
+                          pp_k_max=8)
+    model = PharmacophoreDiffusion(cfg)
+    n_prot = 30
+    prot_x = rng.normal(scale=6.0, size=(n_prot, 3)).astype("float32")
+    prot_h = (rng.integers(0, 11, n_prot)[:, None]
+              == range(11)).astype("float32")
+    pocket = {"prot_x": prot_x, "prot_h": prot_h}
+    init = tile_pocket(prot_x, prot_h, [3, 4], max_prot=64)
+    params = model.init_params(jax.random.key(0), init)
+
+    sizes = [3, 4, 5, 6, 7]
+    sampler = PocketSampler(model, params, fixed_prot_slots=64)
+    pharms = sampler.sample_pocket(pocket, sizes, jax.random.key(1),
+                                   max_batch_size=2)
+    assert [p.n_ph_centers for p in pharms] == sizes
