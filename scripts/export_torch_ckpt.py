@@ -71,7 +71,14 @@ def export_run(run_dir, which="last", out=None):
             "batch_size": config.get("training", {}).get("batch_size", 64),
         },
     }
-    out = Path(out) if out else Path(run_dir) / "exported_reference.ckpt"
+    # default inside checkpoints/ so the file also satisfies this repo's
+    # --ckpt resolution convention (resolve_run_dir: run dir = parent of
+    # the checkpoint directory, reference test.py:62-69)
+    if out is None:
+        ckpt_dir = Path(run_dir) / "checkpoints"
+        ckpt_dir.mkdir(exist_ok=True)
+        out = ckpt_dir / "exported_reference.ckpt"
+    out = Path(out)
     torch.save(ckpt, out)
     return out
 
@@ -83,6 +90,10 @@ def main():
                    help="checkpoint to export ('last', 'best', or a path)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
+    # honor JAX_PLATFORMS even when a site hook re-selects a TPU plugin
+    # (same contract as the CLIs; conversion needs no accelerator)
+    from pharmaforge_tpu.utils.misc import setup_jax
+    setup_jax()
     out = export_run(args.model_dir, args.which, args.out)
     print(f"wrote {out}")
 
