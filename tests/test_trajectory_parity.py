@@ -12,6 +12,15 @@ and asserts per-step max-abs deviation stays below tolerance across the
 whole T-step chain. Any drift in GVP numerics, edge-set semantics,
 COM/frame bookkeeping, posterior math, or the weight-layout mapping fails
 this test.
+
+Environment constraint, stated explicitly: the reference's OWN modules
+never execute in CI — DGL/torch_cluster are not installable on this image
+— so the oracle is a from-source torch re-implementation. Its
+independence is secured three ways: hand-derived torch_cluster golden
+fixtures (tests/test_torch_cluster_golden.py), line-level numerics checks
+against reference gvp.py formulas, and COMMITTED full-chain golden arrays
+(tests/golden/, tests/test_golden_trajectory.py) that pin the oracle and
+the jax chain separately so they cannot co-drift.
 """
 
 import numpy as np
