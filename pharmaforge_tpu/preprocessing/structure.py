@@ -23,7 +23,6 @@ generation CLI works end-to-end on hosts without the chemistry stack.
 
 from __future__ import annotations
 
-from pathlib import Path
 from typing import Iterable, List, NamedTuple, Sequence, Tuple
 
 import numpy as np
