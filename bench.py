@@ -76,7 +76,14 @@ def supervise(argv, attempts=3, worker_timeout=1800):
     to cpu, one final attempt runs on the CPU backend so a chip outage
     still leaves an honest record: the JSON's "platform" field says which
     device the number came from (a CPU figure is NOT comparable to the TPU
-    headline)."""
+    headline). The fallback runs the --quick workload (also marked in the
+    JSON, "workload": "quick") — the full dev-scale chain can take the
+    single-core host past the worker timeout just compiling, which would
+    turn the outage record into a second silent failure.
+
+    One failure class is NEVER retried: RESOURCE_EXHAUSTED (device OOM) is
+    deterministic — respawning the worker or switching to CPU would only
+    mask a real workload bug behind a green exit code."""
     import os
     import subprocess
 
@@ -84,28 +91,43 @@ def supervise(argv, attempts=3, worker_timeout=1800):
     attempts = int(os.environ.get("BENCH_SUPERVISOR_ATTEMPTS", attempts))
 
     def run_worker(extra_env=None, timeout=worker_timeout, extra_args=()):
+        """Returns (json_line_or_None, fatal). Worker stderr is captured and
+        echoed so the supervisor can classify the failure."""
         cmd = [sys.executable, __file__, "--_worker"] + argv + list(extra_args)
         env = dict(os.environ, **(extra_env or {}))
         try:
-            proc = subprocess.run(cmd, stdout=subprocess.PIPE, text=True,
+            proc = subprocess.run(cmd, stdout=subprocess.PIPE,
+                                  stderr=subprocess.PIPE, text=True,
                                   timeout=timeout, env=env)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as e:
+            for stream in (e.stdout, e.stderr):
+                if stream:
+                    sys.stderr.write(stream if isinstance(stream, str)
+                                     else stream.decode(errors="replace"))
             print(f"bench worker hung past {timeout}s (wedged backend "
                   f"init?); killed", file=sys.stderr)
-            return None
+            return None, False
+        if proc.stderr:
+            sys.stderr.write(proc.stderr)
         json_lines = [ln for ln in proc.stdout.splitlines()
                       if ln.startswith("{")]
         if proc.returncode == 0 and json_lines:
-            return json_lines[-1]
+            return json_lines[-1], False
         print(f"bench worker exited rc={proc.returncode}", file=sys.stderr)
-        return None
+        fatal = "RESOURCE_EXHAUSTED" in (proc.stderr or "")
+        return None, fatal
 
     delay = 30.0
     for attempt in range(attempts):
-        line = run_worker()
+        line, fatal = run_worker()
         if line is not None:
             print(line)
             return 0
+        if fatal:
+            print("worker failed with RESOURCE_EXHAUSTED (deterministic "
+                  "device OOM) — not retrying, not falling back; fix the "
+                  "workload", file=sys.stderr)
+            return 1
         print(f"(attempt {attempt + 1}/{attempts})", file=sys.stderr)
         if attempt < attempts - 1:
             time.sleep(delay)
@@ -115,11 +137,12 @@ def supervise(argv, attempts=3, worker_timeout=1800):
         print("all TPU attempts failed; falling back to the CPU backend "
               "so the outage still leaves a (non-comparable) record",
               file=sys.stderr)
-        # shrink the workload for the single-core host (argparse last-wins)
-        line = run_worker(extra_env={"JAX_PLATFORMS": "cpu"},
-                          extra_args=["--pockets_per_call", "2",
-                                      "--pipeline_depth", "4",
-                                      "--repeats", "2"])
+        # quick workload: the single-core host can neither compile nor run
+        # the dev-scale chain inside the timeout (argparse last-wins)
+        line, _ = run_worker(extra_env={"JAX_PLATFORMS": "cpu"},
+                             extra_args=["--quick", "--skip_train_bench",
+                                         "--repeats", "2",
+                                         "--pipeline_depth", "4"])
         if line is not None:
             print(line)
             return 0
@@ -209,14 +232,13 @@ def build_workload(args):
     # device batch stacks `pockets_per_call` DIFFERENT pockets x
     # samples_per_pocket copies each (pocket-major rows), the layout
     # PocketSampler.sample_stacked uses for a dataset sweep
+    from pharmaforge_tpu.data.synthetic import make_synthetic_pocket
+
     def make_pocket(seed):
         r = np.random.default_rng(seed)
-        n_prot = args.pocket_atoms
-        dirs = r.normal(size=(n_prot, 3))
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-        px = (dirs * r.uniform(4, 12, (n_prot, 1))).astype(np.float32)
-        ph = np.eye(11, dtype=np.float32)[r.integers(0, 11, n_prot)]
-        return px, ph
+        px, p_elem = make_synthetic_pocket(r, np.zeros(3), args.pocket_atoms)
+        return (px.astype(np.float32),
+                np.eye(11, dtype=np.float32)[p_elem])
 
     rng = np.random.default_rng(0)
     sizes = rng.integers(3, 9, args.samples_per_pocket)
@@ -226,7 +248,9 @@ def build_workload(args):
         px, ph = make_pocket(i)
         if prot_x is None:
             prot_x, prot_h = px, ph
-        tiles.append(tile_pocket(px, ph, chunk))
+        # thinning makes the atom count vary per pocket; pad every tile to
+        # the same static width so the stacked batch has one shape
+        tiles.append(tile_pocket(px, ph, chunk, max_prot=args.pocket_atoms))
     batch = jax.tree_util.tree_map(
         lambda *xs: np.concatenate(xs, axis=0), *tiles)
     return model, batch, len(chunk), prot_x, prot_h, sizes
@@ -401,19 +425,18 @@ def run_train_bench(args):
             32, 230, 8, 4, 3)
     model = PharmacophoreDiffusion(cfg)
 
+    from pharmaforge_tpu.data.synthetic import make_synthetic_pocket
+
     rng = np.random.default_rng(0)
     p_pad = bucket_size(pocket_atoms)
     samples = []
     for _ in range(batch_size):
-        dirs = rng.normal(size=(pocket_atoms, 3))
-        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
-        prot_x = (dirs * rng.uniform(4, 12, (pocket_atoms, 1))
-                  ).astype(np.float32)
+        prot_x, p_elem = make_synthetic_pocket(rng, np.zeros(3), pocket_atoms)
+        prot_x = prot_x.astype(np.float32)
         n_ph = int(rng.integers(4, 9))
         samples.append({
             "prot_x": prot_x,
-            "prot_h": np.eye(11, dtype=np.float32)[
-                rng.integers(0, 11, pocket_atoms)],
+            "prot_h": np.eye(11, dtype=np.float32)[p_elem],
             "pharm_x": prot_x[:n_ph] * 0.3,
             "pharm_h": np.eye(6, dtype=np.float32)[rng.integers(0, 6, n_ph)],
         })
@@ -542,6 +565,9 @@ def main():
         # which backend actually ran: the headline is a TPU number; "cpu"
         # marks an outage-fallback record, NOT comparable to the baseline
         "platform": jax.devices()[0].platform,
+        # "quick" marks the reduced CI/outage-fallback workload — its value
+        # is not comparable to a full-workload record
+        "workload": "quick" if args.quick else "full",
         "value": round(median_rate, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(median_rate / BASELINE_SAMPLES_PER_SEC, 3),

@@ -191,8 +191,15 @@ class PharmacophoreDiffusion:
     def __init__(self, config: DiffusionConfig):
         self.config = config
         self.dynamics = config.make_dynamics()
-        self.gamma_table = jnp.asarray(make_gamma_table(
-            config.noise_schedule, config.n_timesteps, config.precision))
+        # host-side numpy: constructing the model must NOT touch the device.
+        # The outage-retry wrappers (bench.py::_retry_device,
+        # __graft_entry__::_retry_backend) build the model once and rebuild
+        # device state per attempt after a backend reset; a device-resident
+        # table here would (a) move the first device touch outside the
+        # retried region and (b) pin the dead backend alive across resets.
+        # jnp ops convert it to an on-device constant at trace time.
+        self.gamma_table = make_gamma_table(
+            config.noise_schedule, config.n_timesteps, config.precision)
         self.cutoffs = dict(config.graph_cutoffs)
 
     # ---------------------------------------------------------------- init
@@ -253,7 +260,7 @@ class PharmacophoreDiffusion:
         eps_x = jax.random.normal(k_ex, x0.shape) * fmask[..., None]
         eps_h = jax.random.normal(k_eh, h0.shape) * fmask[..., None]
 
-        gamma_t = self.gamma_table[t_int]                      # [B]
+        gamma_t = jnp.asarray(self.gamma_table)[t_int]         # [B]
         alpha_t = alpha_of_gamma(gamma_t)[:, None, None]
         sigma_t = sigma_of_gamma(gamma_t)[:, None, None]
 
@@ -409,7 +416,7 @@ class PharmacophoreDiffusion:
             h_t = jax.random.normal(k_h, (b, f, cfg.pharm_nf)) * fmask
         x_init, h_init, prot_x_init = x_t, h_t, prot_x
 
-        gamma = self.gamma_table
+        gamma = jnp.asarray(self.gamma_table)
         n_t = cfg.n_timesteps
 
         # hoist the (t, pocket)-only conv0 work out of the scan: one batched

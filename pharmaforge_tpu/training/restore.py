@@ -73,7 +73,12 @@ def load_model(run_dir: Path, which: str = "last"
     config = load_config(run_dir)
     model = model_from_config(config)
 
-    if str(which).endswith(".ckpt") and Path(which).is_file():
+    if str(which).endswith(".ckpt"):
+        # a .ckpt path that does not exist must fail HERE with the real
+        # problem — falling through would misuse the path as an orbax
+        # checkpoint name and die with a confusing 'not found in run dir'
+        if not Path(which).is_file():
+            raise FileNotFoundError(f"checkpoint file not found: {which}")
         from pharmaforge_tpu.interop.torch_import import load_torch_checkpoint
         params = load_torch_checkpoint(str(which), model.config)
         return model, params, config

@@ -34,7 +34,6 @@ def export_run(run_dir, which="last", out=None):
         make_gamma_table(cfg.noise_schedule, cfg.n_timesteps,
                          precision=cfg.precision)))
 
-    dyn = config.get("dynamics", {})
     ckpt = {
         "pytorch-lightning_version": "2.1.0",
         "state_dict": state,

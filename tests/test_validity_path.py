@@ -35,7 +35,7 @@ class OracleDynamics:
     """
 
     def __init__(self, model, x_target, h_target, prot_com0):
-        self.gamma = model.gamma_table
+        self.gamma = jnp.asarray(model.gamma_table)  # host table -> traceable
         self.n_t = model.config.n_timesteps
         self.x_target = jnp.asarray(x_target)  # [F, 3] padded, original frame
         self.h_target = jnp.asarray(h_target)  # [F, nf]
