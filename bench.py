@@ -8,15 +8,18 @@ lax.scan.
 Timing is steady-state THROUGHPUT over a multi-pocket sweep: every device
 call stacks `--pockets_per_call` distinct pockets x 30 samples each into one
 batch (the `PocketSampler.sample_stacked` layout), and each repeat enqueues
-`--pipeline_depth` such calls back-to-back (async jax dispatch, one blocking
-sync at the end) — the way a dataset evaluation sweep (test.py) or a serving
-queue drives the chip. On this deployment the chip sits behind a tunnel with tens of ms
-of per-call round-trip latency; pipelined dispatch overlaps that latency
-with device execution, so throughput reflects the device, not the tunnel.
-The single-call latency is measured separately and reported as
-`chain_latency_ms`. The MEDIAN over `--repeats` repeats is the headline,
-with min/max spread, plus a model-FLOPs-utilization figure from the
-compiled executable's own cost analysis.
+`--pipeline_depth` such calls back-to-back (async jax dispatch, one sync at
+the end) — the way a dataset evaluation sweep (test.py) or a serving queue
+drives the chip. On this deployment the chip sits behind a tunnel with tens
+of ms of per-call round-trip latency; pipelined dispatch overlaps that
+latency with device execution, so throughput reflects the device, not the
+tunnel. Every sync uses utils/timing.fence — a device-computed scalar over
+the outputs fetched to the host — because plain `block_until_ready` can
+return before execution here and inflates the number past the hardware
+peak (see utils/timing.py). The single-call latency is measured separately
+and reported as `chain_latency_ms`. The MEDIAN over `--repeats` repeats is
+the headline, with min/max spread, plus a model-FLOPs-utilization figure
+from the compiled executable's own cost analysis.
 
     {"metric": "pharmacophore samples/sec/chip (full DDPM chain)",
      "value": <median samples/sec/chip>, "unit": "samples/sec/chip",
@@ -315,9 +318,17 @@ def run_sampling_bench(args, model, batch, group):
         # dedups the per-copy prot-prot work within every pocket group
         return model.sample_given_receptor(p, b, k, pocket_group_size=group)
 
+    # every sync below goes through utils.timing.fence, NOT
+    # block_until_ready: on this tunneled deployment block_until_ready can
+    # return before the device has executed (r3 probe: 1.3 ms "blocked"
+    # calls, derived MFU > 1.0 — past the hardware peak). fence() waits for
+    # a device-computed scalar over the outputs to arrive on the host,
+    # which cannot complete early.
+    from pharmaforge_tpu.utils.timing import fence
+
     compiled = jax.jit(fn).lower(params, batch, jax.random.key(1)).compile()
     out = compiled(params, batch, jax.random.key(1))
-    jax.block_until_ready(out["pharm_x"])
+    fence(out["pharm_x"])
 
     try:
         cost = compiled.cost_analysis() or {}
@@ -342,14 +353,19 @@ def run_sampling_bench(args, model, batch, group):
     n_batches = -(-args.samples_per_pocket // args.max_batch_size)
     depth = max(args.pipeline_depth, 1) * n_batches
 
-    # single-call latency (tunnel round-trip + chain), median of 3
+    # single-call latency (chain + one tunnel round-trip for the fence
+    # scalar), median of 3
     lat = []
     for r in range(3):
         t0 = time.perf_counter()
         out = compiled(params, batch, jax.random.key(100 + r))
-        jax.block_until_ready(out["pharm_x"])
+        fence(out["pharm_x"])
         lat.append(time.perf_counter() - t0)
     chain_latency_ms = statistics.median(lat) * 1e3
+
+    # pre-warm the fence digest for the depth-list structure so its one-off
+    # jit compile doesn't land inside the first timed repeat
+    fence([out["pharm_x"]] * depth)
 
     import contextlib
     profile_ctx = (jax.profiler.trace(args.profile_dir)
@@ -360,17 +376,16 @@ def run_sampling_bench(args, model, batch, group):
             t0 = time.perf_counter()
             outs = [compiled(params, batch, jax.random.key(2 + r * 97 + i))
                     for i in range(depth)]
-            jax.block_until_ready([o["pharm_x"] for o in outs])
+            fence([o["pharm_x"] for o in outs])
             per_repeat.append(time.perf_counter() - t0)
 
     n_chips = jax.device_count()
     batch_samples = depth * batch.batch_size
     rates = [batch_samples / dt / n_chips for dt in per_repeat]
-    best_dt = min(per_repeat)
 
     # roofline figure from the compiled executable's cost analysis, against
-    # the best (least-noisy) repeat
-    chains_per_sec = depth / best_dt
+    # the MEDIAN repeat
+    chains_per_sec = depth / statistics.median(per_repeat)
     mfu = ((chain_flops * chains_per_sec) / V5E_BF16_FLOPS
            if chain_flops else None)
 
@@ -454,8 +469,10 @@ def run_train_bench(args):
         stack_batches([batch] * steps_per_call), mesh)
     step_fn = make_multi_train_step(model, optimizer, donate=True)
 
+    from pharmaforge_tpu.utils.timing import fence
+
     state, aux = step_fn(state, stacked, jax.random.key(1), 1e-3)
-    jax.block_until_ready(aux["train total loss"])
+    fence(aux["train total loss"])
 
     rates = []
     for r in range(repeats):
@@ -463,7 +480,10 @@ def run_train_bench(args):
         for i in range(n_calls):
             state, aux = step_fn(
                 state, stacked, jax.random.key(2 + r * n_calls + i), 1e-3)
-        jax.block_until_ready(aux["train total loss"])
+        # the steps chain through the donated state, so fencing the last
+        # loss forces the whole sequence (see utils/timing.py: plain
+        # block_until_ready can return early on this deployment)
+        fence(aux["train total loss"])
         rates.append(n_calls * steps_per_call
                      / (time.perf_counter() - t0))
 
@@ -574,6 +594,7 @@ def main():
         "spread_min": round(min(rates), 3),
         "spread_max": round(max(rates), 3),
         "repeats": args.repeats,
+        "rates_per_repeat": [round(r, 1) for r in rates],
         "pipeline_depth": sres["depth"],
         "pockets_per_call": max(args.pockets_per_call, 1),
         "chain_latency_ms": round(sres["chain_latency_ms"], 2),

@@ -48,7 +48,8 @@ for name, on in (("off", False), ("on", True)):
     f = jax.jit(lambda p, bt, k, m=model: m.sample_given_receptor(
         p, bt, k, pocket_group_size=group))
     out = f(params, batch, jax.random.key(1))
-    jax.block_until_ready(out["pharm_x"])
+    from pharmaforge_tpu.utils.timing import fence
+    fence(out["pharm_x"])
     fns[name] = f
 
 import os
@@ -60,7 +61,7 @@ for r in range(REPEATS):
         t0 = time.perf_counter()
         outs = [f(params, batch, jax.random.key(100 + r * 17 + i))
                 for i in range(DEPTH)]
-        jax.block_until_ready(outs[-1]["pharm_x"])
+        fence([o["pharm_x"] for o in outs])
         dt = (time.perf_counter() - t0) / DEPTH
         res[name].append(b / dt)
 

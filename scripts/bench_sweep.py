@@ -24,6 +24,8 @@ import time
 
 import numpy as np
 
+from pharmaforge_tpu.utils.timing import fence
+
 
 def main():
     p = argparse.ArgumentParser()
@@ -140,13 +142,13 @@ def main():
             continue
         seen.add(b.prot_x.shape)
         out = jitted(params, b, jax.random.key(1), com)
-        jax.block_until_ready(out["pharm_x"])
+        fence(out["pharm_x"])
 
     # ---- the timed sweep: dispatch all chunks, sync once, decode + score
     t0 = time.perf_counter()
     outs = [jitted(params, b, jax.random.key(10 + i), com)
             for i, (b, com) in enumerate(batches)]
-    jax.block_until_ready([o["pharm_x"] for o in outs])
+    fence([o["pharm_x"] for o in outs])
     t_device = time.perf_counter() - t0
 
     analyzer = SampleAnalyzer()

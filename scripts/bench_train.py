@@ -90,8 +90,10 @@ def main():
         run_batch = batch
     n_calls = max(1, args.steps // k)
 
+    from pharmaforge_tpu.utils.timing import fence
+
     state, aux = step_fn(state, run_batch, jax.random.key(1), 1e-3)
-    jax.block_until_ready(aux["train total loss"])
+    fence(aux["train total loss"])
 
     rates = []
     for r in range(args.repeats):
@@ -99,7 +101,7 @@ def main():
         for i in range(n_calls):
             state, aux = step_fn(
                 state, run_batch, jax.random.key(2 + r * n_calls + i), 1e-3)
-        jax.block_until_ready(aux["train total loss"])
+        fence(aux["train total loss"])
         rates.append(n_calls * k / (time.perf_counter() - t0))
 
     print(json.dumps({

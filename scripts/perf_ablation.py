@@ -15,12 +15,13 @@ def time_chain(model, batch, repeats=3):
     import jax
     sampler = jax.jit(lambda p, b, k: model.sample_given_receptor(p, b, k))
     params = model.init_params(jax.random.key(0), batch)
+    from pharmaforge_tpu.utils.timing import fence
     out = sampler(params, batch, jax.random.key(1))
-    jax.block_until_ready(out["pharm_x"])
+    fence(out["pharm_x"])
     t0 = time.perf_counter()
-    for r in range(repeats):
-        out = sampler(params, batch, jax.random.key(2 + r))
-    jax.block_until_ready(out["pharm_x"])
+    outs = [sampler(params, batch, jax.random.key(2 + r))
+            for r in range(repeats)]
+    fence([o["pharm_x"] for o in outs])
     dt = (time.perf_counter() - t0) / repeats
     return dt
 
