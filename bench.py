@@ -600,6 +600,12 @@ def main():
         "chain_latency_ms": round(sres["chain_latency_ms"], 2),
         "mfu_vs_bf16_peak":
             round(sres["mfu"], 4) if sres["mfu"] is not None else None,
+        # sanity tripwire: derived MFU past the hardware peak means the
+        # timing lied (that is exactly how the block_until_ready early
+        # return was caught) — mark the record untrustworthy rather than
+        # publishing an impossible number silently
+        **({"timing_suspect": True}
+           if sres["mfu"] is not None and sres["mfu"] > 1.0 else {}),
         "chain_gflops":
             round(sres["chain_flops"] / 1e9, 2) if sres["chain_flops"]
             else None,

@@ -34,6 +34,11 @@ def test_bench_quick_contract():
     for key in ("spread_min", "spread_max", "chain_latency_ms",
                 "mfu_vs_bf16_peak"):
         assert key in rec
+    # an MFU past the hardware peak means the timing lied; the record must
+    # carry the tripwire flag (and a healthy run must not)
+    assert "timing_suspect" not in rec
+    if rec["mfu_vs_bf16_peak"] is not None:
+        assert rec["mfu_vs_bf16_peak"] <= 1.0
     # BASELINE.json names TWO metrics; the driver captures only bench.py's
     # single JSON line, so train steps/sec rides along as an extra
     assert rec["train_steps_per_sec"] > 0
