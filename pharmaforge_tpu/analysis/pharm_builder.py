@@ -62,16 +62,23 @@ class SampledPharmacophore:
                    ) -> List["SampledPharmacophore"]:
         """Split a dense sampling-output dict into per-sample objects
         (the analog of dgl.unbatch at pharmacodiff.py:503-512)."""
-        x = np.asarray(out["pharm_x"])
-        h = np.asarray(out["pharm_h"])
-        mask = np.asarray(out["pharm_mask"])
+        # one batched fetch for everything this unbatch needs: per-array
+        # np.asarray pays a device->host round trip each (and would re-fetch
+        # the whole trajectory stack once PER SAMPLE below); device_get
+        # starts all copies async and syncs once
+        import jax
+
+        keys = ["pharm_x", "pharm_h", "pharm_mask"]
+        if with_trajectory and "traj_x" in out:
+            keys += ["traj_x", "traj_h"]
+        host = dict(zip(keys, jax.device_get([out[k] for k in keys])))
+        x, h, mask = host["pharm_x"], host["pharm_h"], host["pharm_mask"]
         pharms = []
         for b in range(x.shape[0]):
             m = mask[b]
             traj = None
             if with_trajectory and "traj_x" in out:
-                traj = (np.asarray(out["traj_x"])[:, b, m],
-                        np.asarray(out["traj_h"])[:, b, m])
+                traj = (host["traj_x"][:, b, m], host["traj_h"][:, b, m])
             pharms.append(cls(x[b, m], h[b, m], pharm_type_map,
                               traj_frames=traj, **kwargs))
         return pharms

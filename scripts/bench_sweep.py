@@ -155,7 +155,7 @@ def main():
     validities = []
     n_decoded = 0
     for ch_i, (chunk, out) in enumerate(zip(chunks, outs)):
-        host = {k: np.asarray(v) for k, v in out.items()}
+        host = jax.device_get(out)  # one batched d2h fetch per chunk
         for i, pocket in enumerate(chunk):
             if ch_i * args.pockets_per_call + i >= args.n_pockets:
                 break  # tail padding
