@@ -9,7 +9,9 @@ import time
 import numpy as np
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
+from pharmaforge_tpu.utils.misc import setup_jax
+
+setup_jax()  # compile cache + honor JAX_PLATFORMS (CPU smoke runs)
 jax.config.update("jax_default_matmul_precision", "bfloat16")
 
 from pharmaforge_tpu.data.batch import tile_pocket

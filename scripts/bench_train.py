@@ -30,7 +30,10 @@ def main():
     args = p.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
+
+    from pharmaforge_tpu.utils.misc import setup_jax
+
+    setup_jax()  # compile cache + honor JAX_PLATFORMS (CPU smoke runs)
     jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
     from pharmaforge_tpu.data.batch import bucket_size, collate_complexes

@@ -43,7 +43,10 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/pharmaforge_jax_cache")
+
+    from pharmaforge_tpu.utils.misc import setup_jax
+
+    setup_jax()  # compile cache + honor JAX_PLATFORMS (CPU smoke runs)
     jax.config.update("jax_default_matmul_precision", args.precision)
 
     from pharmaforge_tpu.models.diffusion import (
