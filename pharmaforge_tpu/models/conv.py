@@ -179,7 +179,8 @@ class EdgeMessageChain(nn.Module):
                  src_vectors_zero: bool = False,
                  return_table: bool = False,
                  table_override: Optional[Array] = None,
-                 src_group_size: int = 1):
+                 src_group_size: int = 1,
+                 fused_aggregate: Union[bool, str] = False):
         """h_src [B,P,S], v_src [B,P,V,3] (ignored when src_vectors_zero),
         edge carries idx/mask + unit directions + RBF. Returns per-edge
         (scalars [B,Nd,M,S], vectors) where vectors is a dense
@@ -193,7 +194,15 @@ class EdgeMessageChain(nn.Module):
         entirely); with `src_group_size` = C > 1 the table is group-level
         ([B/C, P, D]) while `edge.idx` stays per-copy — the gather folds the
         C copies into its destination axis, so identical pockets share one
-        table instead of C redundant per-node matmuls."""
+        table instead of C redundant per-node matmuls.
+
+        `fused_aggregate` switches to the fused Pallas kernel
+        (ops/pallas/pp_message.py): gather + whole message chain + masked
+        K-sum in one launch, returning PRE-NORMALIZATION aggregates
+        (s_sum [B,Nd,S] fp32, v_sum [B,Nd,V,3] fp32) instead of per-edge
+        messages — the HBM-bound regime's path (no [B,Nd,K,...] tensor in
+        HBM). The value "interpret" runs the kernel interpreted (tests on
+        CPU). Requires a plain gathered edge with nonzero source vectors."""
         from pharmaforge_tpu.ops.geometry import norm_no_nan
 
         s, v = self.scalar_size, self.vector_size
@@ -217,6 +226,24 @@ class EdgeMessageChain(nn.Module):
         w1_sh = w1[s + self.rbf_dim:]       # vector-norm rows
         wh0 = wh[0]                         # x_dir channel row [H]
         wh0u = wh0 @ wu                     # [V]
+
+        if fused_aggregate:
+            if (src_vectors_zero or table_override is not None
+                    or src_group_size != 1 or edge.idx is None):
+                raise ValueError(
+                    "fused_aggregate requires a plain gathered edge with "
+                    "nonzero source vectors")
+            from pharmaforge_tpu.ops.pallas.pp_message import \
+                fused_message_agg
+            h_c, v_c = cast(h_src, v_src)
+            pre_s = h_c @ w1_h                               # [B,P,S]
+            vh_pre = jnp.einsum("bpvc,vh->bphc", v_c, wh[1:])
+            planes = [vh_pre[..., c] for c in range(3)]      # [B,P,H] x3
+            return fused_message_agg(
+                pre_s, planes, edge, layer_params,
+                scalar_size=s, vector_size=v, rbf_dim=self.rbf_dim,
+                compute_dtype=self.compute_dtype,
+                interpret=fused_aggregate == "interpret")
 
         # ---- per-NODE precompute ------------------------------------------
         if table_override is not None:
@@ -540,6 +567,14 @@ class GVPMultiEdgeConv(nn.Module):
     # traffic on the dominant [B, Nd, M, ...] edge tensors; the aggregation,
     # residual stream and node updates stay fp32)
     compute_dtype: str = "float32"
+    # run the per-copy prot-prot message chain through the fused Pallas
+    # kernel (ops/pallas/pp_message.py) instead of materialized XLA edge
+    # tensors. "auto" enables it iff the backend is TPU (resolved at trace
+    # time); "interpret" forces the interpreted kernel (CPU tests). Only
+    # engages where it applies: a gathered pp edge with nonzero source
+    # vectors and no pocket-group dedup — i.e. the middle convs, the
+    # HBM-bound regime at full scale (docs/performance.md).
+    fused_pp: Union[bool, str] = False
 
     def _update_chain(self, name: str) -> GVPChain:
         specs = tuple(dict(
@@ -728,6 +763,13 @@ class GVPMultiEdgeConv(nn.Module):
                     s_agg, v_agg, cnt = _scatter_aggregate(s_msg, v_msg, ed,
                                                            mean=use_mean)
             else:
+                fused = self.fused_pp
+                if fused == "auto":
+                    from pharmaforge_tpu.ops.pallas.pp_message import \
+                        pallas_supported
+                    fused = pallas_supported()
+                fused = (fused and ename == "pp" and ed.idx is not None
+                         and not src_vectors_zero and group == 1)
                 kw = {}
                 if ename == "pf" and (pf_table is not None
                                       or pf_src_group_size > 1):
@@ -736,12 +778,26 @@ class GVPMultiEdgeConv(nn.Module):
                     # both gather group-folded onto the per-copy dst rows
                     kw = dict(table_override=pf_table,
                               src_group_size=pf_src_group_size)
-                s_msg, v_msg = chain(h_src, v_src, ed,
-                                     src_vectors_zero=src_vectors_zero, **kw)
-                if not isinstance(v_msg, FactoredVectors):
-                    v_msg = v_msg.astype(jnp.float32)
-                s_agg, v_agg, cnt = _aggregate(
-                    s_msg.astype(jnp.float32), v_msg, emask, mean=use_mean)
+                if fused:
+                    # fused gather+chain+K-sum: pre-norm aggregates come
+                    # straight off the kernel, normalization follows the
+                    # `_aggregate` conventions exactly
+                    s_agg, v_agg = chain(h_src, v_src, ed,
+                                         fused_aggregate=self.fused_pp)
+                    cnt = jnp.sum(emask.astype(jnp.float32), axis=2)
+                    if use_mean:
+                        denom = jnp.maximum(cnt, 1.0)
+                        s_agg = s_agg / denom[..., None]
+                        v_agg = v_agg / denom[..., None, None]
+                else:
+                    s_msg, v_msg = chain(h_src, v_src, ed,
+                                         src_vectors_zero=src_vectors_zero,
+                                         **kw)
+                    if not isinstance(v_msg, FactoredVectors):
+                        v_msg = v_msg.astype(jnp.float32)
+                    s_agg, v_agg, cnt = _aggregate(
+                        s_msg.astype(jnp.float32), v_msg, emask,
+                        mean=use_mean)
                 if compact:
                     s_agg, v_agg, cnt = _compact_prot(s_agg, v_agg, cnt)
 

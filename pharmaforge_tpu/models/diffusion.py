@@ -110,6 +110,15 @@ class DiffusionConfig:
     # activation dtype inside the message/update chains: 'bfloat16' halves
     # the HBM traffic of the edge tensors (params and reductions stay fp32)
     compute_dtype: str = "float32"
+    # fused Pallas prot-prot message kernel for the per-copy MIDDLE convs
+    # (ops/pallas/pp_message.py). Those convs are what makes the full-scale
+    # step (n_convs=4, reference gvp.py default) HBM-bandwidth-bound: each
+    # materializes ~[B, P, 16, 128]-class edge activations per chain stage
+    # in plain XLA. "auto" (default) enables the kernel iff the backend is
+    # TPU, resolved at trace time so model construction stays device-free;
+    # True/False force it; "interpret" runs it interpreted (CPU tests).
+    # n_convs=2 configs (dev) have no middle convs and are unaffected.
+    fused_pp: Any = "auto"
     # unroll factor of the reverse-chain lax.scan. Measured on v5e at the
     # bench workload (4 pockets x 30 samples, 230 atoms) with interleaved
     # in-process A/B: unroll=1 2436 samples/sec vs unroll=4 2335 — the
@@ -182,6 +191,7 @@ class DiffusionConfig:
             compact_prot_tail=self.compact_prot_tail,
             dedup_prot_encoder=self.dedup_prot_encoder,
             compute_dtype=self.compute_dtype,
+            fused_pp=self.fused_pp,
         )
 
 

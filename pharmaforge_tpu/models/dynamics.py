@@ -207,6 +207,9 @@ class PharmRecDynamics(nn.Module):
     dedup_prot_encoder: bool = True
     # activation dtype for the conv message/update chains
     compute_dtype: str = "float32"
+    # fused Pallas prot-prot message path for the per-copy middle convs
+    # ("auto" = iff TPU backend; see models/conv.py GVPMultiEdgeConv)
+    fused_pp: object = False
 
     @nn.compact
     def __call__(self,
@@ -362,6 +365,7 @@ class PharmRecDynamics(nn.Module):
                 message_norm=self.message_norm,
                 dropout=self.dropout,
                 compute_dtype=self.compute_dtype,
+                fused_pp=self.fused_pp,
                 name=f"conv_layers_{i}",
             )(node_feats, node_masks, bundle,
               deterministic=deterministic, update_ntypes=update_ntypes,

@@ -1,0 +1,212 @@
+"""Fused Pallas prot-prot message kernel (ops/pallas/pp_message.py):
+parity of (gather -> message GVP chain -> masked aggregation) against the
+unfused XLA path at every level — raw chain, full hetero conv, whole
+denoiser forward — plus gradient flow through the custom_vjp.
+
+All kernel invocations here run interpreted (CPU); the TPU lowering shares
+the exact same trace. The unfused oracle is the production XLA path, which
+is itself pinned to the reference semantics (reference gvp.py:540-550) by
+tests/test_torch_parity.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pharmaforge_tpu.models.conv import (
+    EdgeMessageChain,
+    GVPMultiEdgeConv,
+    _aggregate,
+)
+from pharmaforge_tpu.models.edges import EdgeData
+from pharmaforge_tpu.ops.geometry import rbf
+
+
+def make_edge(rng, b, nd, p, k, rbf_dim=16):
+    idx = rng.integers(0, p, size=(b, nd, k)).astype(np.int32)
+    mask = (rng.random((b, nd, k)) < 0.8).astype(np.float32)
+    mask[:, -2:] = 0.0  # padded destination rows: no valid edges at all
+    d = rng.uniform(0.5, 10.0, size=(b, nd, k)).astype(np.float32)
+    x_dir = rng.normal(size=(b, nd, k, 3)).astype(np.float32)
+    x_dir /= np.linalg.norm(x_dir, axis=-1, keepdims=True)
+    return EdgeData(mask=jnp.asarray(mask), idx=jnp.asarray(idx),
+                    x_dir=jnp.asarray(x_dir),
+                    d_rbf=rbf(jnp.asarray(d), d_count=rbf_dim))
+
+
+@pytest.mark.parametrize("dtype,rtol,atol", [
+    ("float32", 1e-5, 1e-5), ("bfloat16", 0.08, 0.05),
+])
+def test_chain_fused_matches_unfused(rng, dtype, rtol, atol):
+    """EdgeMessageChain(fused_aggregate='interpret') == unfused chain +
+    _aggregate pre-norm sums, identical params."""
+    b, p, nd, k, s, v = 2, 23, 19, 5, 32, 8
+    chain = EdgeMessageChain(scalar_size=s, vector_size=v,
+                             n_message_gvps=3, compute_dtype=dtype)
+    h_src = jnp.asarray(rng.normal(size=(b, p, s)).astype(np.float32))
+    v_src = jnp.asarray(
+        rng.normal(scale=0.5, size=(b, p, v, 3)).astype(np.float32))
+    edge = make_edge(rng, b, nd, p, k)
+    params = chain.init(jax.random.key(0), h_src, v_src, edge)
+
+    s_msg, v_msg = chain.apply(params, h_src, v_src, edge)
+    s_ref, v_ref, _ = _aggregate(s_msg.astype(jnp.float32),
+                                 v_msg.astype(jnp.float32),
+                                 edge.mask, mean=False)
+    s_f, v_f = chain.apply(params, h_src, v_src, edge,
+                           fused_aggregate="interpret")
+    np.testing.assert_allclose(np.asarray(s_f), np.asarray(s_ref),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(v_f), np.asarray(v_ref),
+                               rtol=rtol, atol=atol)
+
+
+def test_kernel_matches_reference_twin(rng):
+    """Interpreted kernel == jnp twin (the custom_vjp backward body) —
+    guarantees the backward differentiates the same function the kernel
+    computes."""
+    from pharmaforge_tpu.ops.pallas import pp_message as ppm
+    b, p, nd, k, s, v = 2, 17, 11, 4, 16, 4
+    h = v + 1
+    n_gvps = 2
+    pre_s = jnp.asarray(rng.normal(size=(b, p, s)).astype(np.float32))
+    planes = [jnp.asarray(rng.normal(size=(b, p, h)).astype(np.float32))
+              for _ in range(3)]
+    edge = make_edge(rng, b, nd, p, k, rbf_dim=8)
+
+    def mk(shape):
+        return jnp.asarray(rng.normal(scale=0.3, size=shape)
+                           .astype(np.float32))
+
+    layer_params = [(mk((h, h)), mk((h, v)), (mk((s + 8 + h, s)), mk((s,))),
+                     (mk((s, v)), mk((v,))))]
+    for _ in range(n_gvps - 1):
+        layer_params.append((mk((v, h)), mk((h, v)),
+                             (mk((s + h, s)), mk((s,))),
+                             (mk((s, v)), mk((v,)))))
+    kw = dict(scalar_size=s, vector_size=v, rbf_dim=8)
+    s_k, v_k = ppm.fused_message_agg(pre_s, planes, edge, layer_params,
+                                     interpret=True, **kw)
+    s_r, v_r = ppm.message_agg_reference(pre_s, planes, edge, layer_params,
+                                         **kw)
+    np.testing.assert_allclose(np.asarray(s_k), np.asarray(s_r),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v_k), np.asarray(v_r),
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("message_norm", ["mean", 10, 0])
+def test_conv_fused_matches_unfused(rng, message_norm):
+    """GVPMultiEdgeConv(fused_pp='interpret') == unfused, all norm modes.
+    Source vectors are nonzero (middle-conv regime)."""
+    from tests.conftest import make_complex_batch
+    from pharmaforge_tpu.models.edges import build_edge_bundle
+    from pharmaforge_tpu.ops.neighbors import build_pp_neighbors
+
+    batch = make_complex_batch(rng, b=2, p=30, f_valid=(5, 7),
+                               p_valid=(26, 30))
+    s, v = 32, 8
+    prot_x = jnp.asarray(batch.prot_x)
+    prot_m = jnp.asarray(batch.prot_mask)
+    pharm_x = jnp.asarray(batch.pharm_x)
+    pharm_m = jnp.asarray(batch.pharm_mask)
+    pp = build_pp_neighbors(prot_x, prot_m, 3.5, 8)
+    bundle = build_edge_bundle(
+        pharm_x, pharm_m, prot_x, prot_m,
+        {"pp": 3.5, "pf": 8.0, "fp": 8.0, "ff": 9.0},
+        ff_k=0, pf_k=0, pp_nbrs=pp)
+
+    def feats(n, d):
+        hh = jnp.asarray(rng.normal(size=(2, n, s)).astype(np.float32))
+        vv = jnp.asarray(rng.normal(scale=0.4, size=(2, n, v, 3))
+                         .astype(np.float32))
+        return (hh * d[..., None], None, vv * d[..., None, None])
+
+    node_feats = {"pharm": feats(pharm_m.shape[1], pharm_m)[:1]
+                  + (pharm_x,) + feats(pharm_m.shape[1], pharm_m)[2:],
+                  "prot": feats(prot_m.shape[1], prot_m)[:1]
+                  + (prot_x,) + feats(prot_m.shape[1], prot_m)[2:]}
+    node_masks = {"pharm": pharm_m, "prot": prot_m}
+
+    def run(fused):
+        conv = GVPMultiEdgeConv(scalar_size=s, vector_size=v,
+                                n_message_gvps=3, n_update_gvps=1,
+                                message_norm=message_norm, fused_pp=fused)
+        params = conv.init(jax.random.key(1), node_feats, node_masks, bundle)
+        return conv.apply(params, node_feats, node_masks, bundle), params
+
+    (out_f, p_f), (out_u, p_u) = run("interpret"), run(False)
+    chex_equal = jax.tree_util.tree_all(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), p_f, p_u))
+    assert chex_equal, "fused flag must not change the parameter tree"
+    for nt in ("pharm", "prot"):
+        for i in (0, 2):
+            np.testing.assert_allclose(
+                np.asarray(out_f[nt][i]), np.asarray(out_u[nt][i]),
+                rtol=2e-4, atol=2e-5,
+                err_msg=f"{nt}[{i}] fused != unfused")
+
+
+def test_dynamics_forward_fused_matches(rng):
+    """Whole denoiser forward at n_convs=3 (one genuine middle conv):
+    fused_pp='interpret' == fused_pp=False."""
+    from tests.conftest import make_complex_batch
+    from pharmaforge_tpu.models.diffusion import (DiffusionConfig,
+                                                  PharmacophoreDiffusion)
+    from pharmaforge_tpu.ops.neighbors import build_pp_neighbors
+
+    batch = make_complex_batch(rng, b=3, p=40, f_valid=(5, 3, 8),
+                               p_valid=(36, 28, 40))
+    base = dict(n_timesteps=6, n_convs=3, vector_size=8,
+                n_hidden_scalars=32, message_norm="mean",
+                n_message_gvps=2, n_update_gvps=1, n_noise_gvps=2,
+                pf_k=4, pp_k_max=8)
+    m_f = PharmacophoreDiffusion(DiffusionConfig(**base,
+                                                 fused_pp="interpret"))
+    m_u = PharmacophoreDiffusion(DiffusionConfig(**base, fused_pp=False))
+    params = m_f.init_params(jax.random.key(0), batch)
+    pp = build_pp_neighbors(jnp.asarray(batch.prot_x),
+                            jnp.asarray(batch.prot_mask), 3.5, 8)
+    t = jnp.asarray([0.3, 0.7, 0.1])
+    args = (jnp.asarray(batch.pharm_h), jnp.asarray(batch.pharm_x),
+            jnp.asarray(batch.pharm_mask), jnp.asarray(batch.prot_h),
+            jnp.asarray(batch.prot_x), jnp.asarray(batch.prot_mask), t, pp)
+    h_f, x_f = m_f.dynamics.apply({"params": params}, *args,
+                                  deterministic=True)
+    h_u, x_u = m_u.dynamics.apply({"params": params}, *args,
+                                  deterministic=True)
+    np.testing.assert_allclose(np.asarray(h_f), np.asarray(h_u),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_f), np.asarray(x_u),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fused_gradients_flow(rng):
+    """jax.grad through the fused path (custom_vjp backward = jnp twin)
+    matches the unfused gradients."""
+    b, p, nd, k, s, v = 2, 15, 9, 4, 16, 4
+    chain = EdgeMessageChain(scalar_size=s, vector_size=v, n_message_gvps=2)
+    h_src = jnp.asarray(rng.normal(size=(b, p, s)).astype(np.float32))
+    v_src = jnp.asarray(
+        rng.normal(scale=0.5, size=(b, p, v, 3)).astype(np.float32))
+    edge = make_edge(rng, b, nd, p, k)
+    params = chain.init(jax.random.key(0), h_src, v_src, edge)
+
+    def loss(pr, fused):
+        kw = dict(fused_aggregate="interpret") if fused else {}
+        out = chain.apply(pr, h_src, v_src, edge, **kw)
+        if fused:
+            s_a, v_a = out
+        else:
+            s_a, v_a, _ = _aggregate(out[0].astype(jnp.float32),
+                                     out[1].astype(jnp.float32),
+                                     edge.mask, mean=False)
+        return jnp.sum(s_a ** 2) + jnp.sum(v_a ** 2)
+
+    g_f = jax.grad(lambda pr: loss(pr, True))(params)
+    g_u = jax.grad(lambda pr: loss(pr, False))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
+        g_f, g_u)
