@@ -765,9 +765,11 @@ class GVPMultiEdgeConv(nn.Module):
             else:
                 fused = self.fused_pp
                 if fused == "auto":
-                    from pharmaforge_tpu.ops.pallas.pp_message import \
-                        pallas_supported
-                    fused = pallas_supported()
+                    # same gate as the knn-selection kernel: TPU backend,
+                    # PHARMAFORGE_PALLAS=0 kill-switch
+                    from pharmaforge_tpu.ops.pallas import \
+                        edge_kernel_enabled
+                    fused = edge_kernel_enabled()
                 fused = (fused and ename == "pp" and ed.idx is not None
                          and not src_vectors_zero and group == 1)
                 kw = {}
