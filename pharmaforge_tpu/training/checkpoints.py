@@ -38,7 +38,21 @@ class RunCheckpointer:
         self.monitor = monitor
         self.every_n_epochs = every_n_epochs
         self.mode = mode
-        self._ckptr = ocp.StandardCheckpointer()
+        # under jax.distributed the trainer enforces rank discipline itself
+        # (rank 0 saves host-numpy state; every rank restores host-side), so
+        # orbax must treat each process as standalone — its default
+        # cross-process barriers deadlock against ranks that never enter
+        # save (observed: 5-min shutdown-barrier timeout in the 2-process
+        # trainer smoke test)
+        if jax.process_count() > 1:
+            me = jax.process_index()
+            mp = ocp.options.MultiprocessingOptions(
+                primary_host=me, active_processes={me},
+                barrier_sync_key_prefix=f"local-ckpt-{me}")
+            self._ckptr = ocp.StandardCheckpointer(
+                multiprocessing_options=mp)
+        else:
+            self._ckptr = ocp.StandardCheckpointer()
         self._top: list[tuple[float, int]] = []  # (metric, step)
         self._load_top_index()
 

@@ -34,10 +34,23 @@ from pharmaforge_tpu.data.batch import stack_batches
 from pharmaforge_tpu.parallel.mesh import (
     make_mesh,
     pad_batch_to_multiple,
+    process_local_rows,
     replicate,
     shard_batch,
     shard_stacked_batch,
 )
+
+
+class _NullLogger:
+    """No-op metrics sink for non-zero ranks under jax.distributed: only
+    process 0 writes metrics.jsonl / wandb (the reference crashed on rank>0
+    instead — train.py:114-127)."""
+
+    def log(self, metrics, step):
+        pass
+
+    def finish(self):
+        pass
 from pharmaforge_tpu.training.checkpoints import RunCheckpointer, abstract_like
 from pharmaforge_tpu.training.logging import MetricsLogger
 from pharmaforge_tpu.training.optim import ReduceLROnPlateau, make_optimizer
@@ -131,8 +144,15 @@ class Trainer:
             self.optimizer = optax.MultiSteps(self.optimizer,
                                               every_k_schedule=self.accumulate)
 
-        self.logger = logger or MetricsLogger(self.run_dir,
-                                              config.get("wandb"))
+        # multi-host (jax.distributed): rank 0 owns every filesystem/stdout
+        # side effect — metrics, checkpoints, progress; the loader on each
+        # process feeds only its process_local_rows slice of each batch
+        self.is_main = jax.process_index() == 0
+        self.n_processes = jax.process_count()
+        if logger is None:
+            logger = (MetricsLogger(self.run_dir, config.get("wandb"))
+                      if self.is_main else _NullLogger())
+        self.logger = logger
         self.checkpointer = RunCheckpointer(self.run_dir,
                                             **config.get("checkpointing", {}))
         self.mesh = make_mesh(n_devices)
@@ -155,6 +175,8 @@ class Trainer:
         """Per-step progress line on stderr: in-place (carriage-return) on a
         tty, plain lines otherwise. Refresh cadence `progress_refresh`."""
         r = self.progress_refresh
+        if not self.is_main:
+            return
         if not r or (batch_idx % r and batch_idx != n_batches - 1):
             return
         loss = metrics.get("train total loss", float("nan"))
@@ -173,6 +195,19 @@ class Trainer:
         if self._progress_live:
             print(file=sys.stderr, flush=True)
             self._progress_live = False
+
+    # ---------------------------------------------------------- multi-host
+
+    def _to_local(self, batch):
+        """Under jax.distributed, slice the (globally identical, already
+        padded) batch down to this process's `process_local_rows` before
+        `shard_batch` assembles the global array — each host materializes
+        only the rows its own devices hold (parallel/mesh.py contract)."""
+        if self.n_processes <= 1:
+            return batch
+        start, stop = process_local_rows(batch.pharm_x.shape[0], self.mesh)
+        return jax.tree_util.tree_map(lambda a: np.asarray(a)[start:stop],
+                                      batch)
 
     # ----------------------------------------------------------------- fit
 
@@ -219,8 +254,12 @@ class Trainer:
 
         n_params = sum(np.prod(np.shape(p)) for p in
                        jax.tree_util.tree_leaves(state.params))
-        print(f"training on mesh {self.mesh.shape} | {n_params:,} params "
-              f"| batch {self.batch_size} | {self.max_epochs} epochs")
+        if self.is_main:
+            print(f"training on mesh {self.mesh.shape} | {n_params:,} "
+                  f"params | batch {self.batch_size} | {self.max_epochs} "
+                  f"epochs"
+                  + (f" | {self.n_processes} processes"
+                     if self.n_processes > 1 else ""))
 
         while self.epoch < self.max_epochs:
             loader = datamodule.train_dataloader(seed=self.seed + self.epoch)
@@ -271,7 +310,7 @@ class Trainer:
 
             def run_single(batch_idx, batch):
                 nonlocal state, key
-                sharded = shard_batch(batch, self.mesh)
+                sharded = shard_batch(self._to_local(batch), self.mesh)
                 key, step_key = jax.random.split(key)
                 state, aux = _with_retry(train_step, state, sharded,
                                          step_key, self.lr,
@@ -283,7 +322,8 @@ class Trainer:
                 nonlocal state, key
                 idxs = [i for i, _ in entries]
                 stacked = shard_stacked_batch(
-                    stack_batches([b for _, b in entries]), self.mesh)
+                    stack_batches([self._to_local(b) for _, b in entries]),
+                    self.mesh)
                 key, step_key = jax.random.split(key)
                 state, aux = _with_retry(multi_step, state, stacked,
                                          step_key, self.lr,
@@ -336,10 +376,11 @@ class Trainer:
             dt = time.time() - epoch_t0
             steps_per_sec = (batch_idx + 1) / dt if dt > 0 else 0.0
             train_loss = np.mean(epoch_metrics.get("train total loss", [0.0]))
-            print(f"epoch {self.epoch}/{self.max_epochs} "
-                  f"train total loss {train_loss:.4f} "
-                  f"val total loss {val_metrics['val total loss']:.4f} "
-                  f"({steps_per_sec:.2f} steps/s)")
+            if self.is_main:
+                print(f"epoch {self.epoch}/{self.max_epochs} "
+                      f"train total loss {train_loss:.4f} "
+                      f"val total loss {val_metrics['val total loss']:.4f} "
+                      f"({steps_per_sec:.2f} steps/s)")
 
             self.save_checkpoint(state, val_metrics["val total loss"])
 
@@ -371,7 +412,7 @@ class Trainer:
             batch, _ = pad_batch_to_multiple(batch, self.batch_size)
             batch, _ = pad_batch_to_multiple(
                 batch, int(np.prod(self.mesh.devices.shape)))
-            batch = shard_batch(batch, self.mesh)
+            batch = shard_batch(self._to_local(batch), self.mesh)
             key, sub = jax.random.split(key)
             aux = _with_retry(eval_step, params, batch, sub)
             for k, v in aux.items():
@@ -385,6 +426,12 @@ class Trainer:
                            size_dist) -> dict:
         """Sample pharmacophores mid-training and compute validity
         (reference pharmacodiff.py:320-357)."""
+        if self.n_processes > 1:
+            # the sampler drives its own single-host batches: pull the
+            # replicated params to host numpy so its jit runs on local
+            # devices, independent of the global mesh (every rank samples
+            # identically; only rank 0 logs the result)
+            params = jax.device_get(params)
         n_pockets = min(self.n_pockets_to_sample, len(val_dataset))
         idxs = np.random.default_rng(int(self.global_step)).integers(
             0, len(val_dataset), size=n_pockets)
@@ -415,6 +462,9 @@ class Trainer:
     # ----------------------------------------------------------- checkpoint
 
     def save_checkpoint(self, state: TrainState, monitored: float):
+        if not self.is_main:
+            # rank-zero-only writes; replicated state is identical anyway
+            return
         host_state = jax.device_get(
             {"params": state.params, "opt_state": state.opt_state})
         meta = {

@@ -32,6 +32,17 @@ def parse_arguments():
     p.add_argument('--seed', type=int, default=None)
     p.add_argument('--n_devices', type=int, default=None,
                    help='restrict the data-parallel mesh to this many chips')
+    p.add_argument('--distributed', action='store_true',
+                   help='multi-host data parallelism: jax.distributed.'
+                        'initialize() before any device use; rank 0 owns '
+                        'the run dir, logs, and checkpoints')
+    p.add_argument('--coordinator', type=str, default=None,
+                   help='coordinator address for --distributed (default: '
+                        'auto-detected from the TPU pod environment)')
+    p.add_argument('--num_processes', type=int, default=None,
+                   help='process count for --distributed (default: auto)')
+    p.add_argument('--process_id', type=int, default=None,
+                   help='this process rank for --distributed (default: auto)')
     p = register_hyperparameter_args(p)
     args = p.parse_args()
     if args.config is not None and args.resume is not None:
@@ -68,6 +79,21 @@ if __name__ == '__main__':
     from pharmaforge_tpu.utils.misc import setup_jax
     setup_jax()
 
+    if args.distributed:
+        # multi-host DP: jax.devices() spans hosts after this; the Trainer
+        # feeds each host only its process_local_rows slice and rank 0 owns
+        # all writes (the reference's PL/DDP setup crashed on rank>0 —
+        # /root/reference/train.py:114-127)
+        import jax
+        kw = {}
+        if args.coordinator is not None:
+            kw['coordinator_address'] = args.coordinator
+        if args.num_processes is not None:
+            kw['num_processes'] = args.num_processes
+        if args.process_id is not None:
+            kw['process_id'] = args.process_id
+        jax.distributed.initialize(**kw)
+
     ckpt_resume = None
     if args.resume is not None:
         if args.resume.is_dir():
@@ -91,7 +117,14 @@ if __name__ == '__main__':
         config = yaml.load(f, Loader=yaml.FullLoader)
     config = merge_config_and_args(config, args)
 
-    maybe_make_synthetic(config)
+    import jax
+    is_main = jax.process_index() == 0
+    if is_main:
+        maybe_make_synthetic(config)
+    if jax.process_count() > 1:
+        # non-zero ranks read the dataset rank 0 may have just generated
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices('synthetic-dataset-ready')
 
     data_module = data_module_from_config(config)
     model = model_from_config(config)
@@ -106,21 +139,31 @@ if __name__ == '__main__':
 
     if args.resume is None:
         run_id = generate_run_id()
+        if jax.process_count() > 1:
+            # all ranks must agree on the run dir: rank 0's id wins
+            from jax.experimental import multihost_utils
+            buf = np.frombuffer(run_id.encode(), np.uint8).copy()
+            buf = np.asarray(multihost_utils.broadcast_one_to_all(buf))
+            run_id = buf.tobytes().decode()
         wandb_config['id'] = run_id
         name = wandb_config.get('name', 'run').replace(' ', '-')
         run_dir = output_dir / f'{name}_{run_id}'
-        run_dir.mkdir(parents=True, exist_ok=True)
         config.setdefault('resume', {})['run_id'] = run_id
-        print('Results are being written to:', run_dir)
-        with open(run_dir / 'config.yaml', 'w') as f:
-            yaml.dump(config, f)
+        if is_main:
+            run_dir.mkdir(parents=True, exist_ok=True)
+            print('Results are being written to:', run_dir)
+            with open(run_dir / 'config.yaml', 'w') as f:
+                yaml.dump(config, f)
     else:
         run_id = config.get('resume', {}).get('run_id', 'resumed')
         wandb_config['id'] = run_id
         wandb_config['resume'] = 'must'
 
     wandb_config['save_dir'] = str(output_dir)
-    logger = MetricsLogger(run_dir, wandb_config, full_config=config)
+    # rank 0 owns metrics.jsonl/wandb; other ranks get the Trainer's no-op
+    # logger (Trainer constructs it when logger is None off-main)
+    logger = (MetricsLogger(run_dir, wandb_config, full_config=config)
+              if is_main else None)
 
     trainer = Trainer(config, run_dir, logger=logger, debug=args.debug,
                       seed=seed, n_devices=args.n_devices)
