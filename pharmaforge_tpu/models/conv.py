@@ -239,10 +239,13 @@ class EdgeMessageChain(nn.Module):
             pre_s = h_c @ w1_h                               # [B,P,S]
             vh_pre = jnp.einsum("bpvc,vh->bphc", v_c, wh[1:])
             planes = [vh_pre[..., c] for c in range(3)]      # [B,P,H] x3
+            # pocket-group-level descriptors (GroupedEdgeData) declare B =
+            # G * copies; the kernel grid reuses them across the copies
+            copies = getattr(edge, "copies", 1)
             return fused_message_agg(
                 pre_s, planes, edge, layer_params,
                 scalar_size=s, vector_size=v, rbf_dim=self.rbf_dim,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, copies=copies,
                 interpret=fused_aggregate == "interpret")
 
         # ---- per-NODE precompute ------------------------------------------
@@ -698,6 +701,25 @@ class GVPMultiEdgeConv(nn.Module):
             b_full = node_masks[dst_nt if dst_nt == "prot" else "pharm"].shape[0]
             g = b_full // group if group > 1 else b_full
             pp_pre = ename == "pp" and pp_precomputed is not None
+
+            # pp edges may arrive at pocket-GROUP level (batched sampling,
+            # models/edges.py GroupedEdgeData): conv0 consumes them at group
+            # level anyway; middle convs keep them grouped for the fused
+            # kernel and expand to per-copy rows (the old broadcast) on the
+            # unfused path — resolved below once the fused decision is made
+            from pharmaforge_tpu.models.edges import (EdgeData,
+                                                      GroupedEdgeData)
+            ed_copies = 1
+            if isinstance(ed, GroupedEdgeData):
+                if group > 1:
+                    if ed.copies != group:
+                        raise ValueError(
+                            f"grouped pp edge copies {ed.copies} != "
+                            f"pp_src_group_size {group}")
+                    ed = ed.as_edge_data()
+                else:
+                    ed_copies = ed.copies
+
             if group > 1 and not pp_pre:
                 if not src_vectors_zero:
                     raise ValueError(
@@ -711,12 +733,13 @@ class GVPMultiEdgeConv(nn.Module):
                 def _first(a):
                     return a.reshape((g, group) + a.shape[1:])[:, 0]
 
-                from pharmaforge_tpu.models.edges import EdgeData
                 if h_src.shape[0] != g:
                     h_src = _first(h_src)
                     v_src = _first(v_src)
-                ed = EdgeData(mask=_first(ed.mask), idx=_first(ed.idx),
-                              x_dir=_first(ed.x_dir), d_rbf=_first(ed.d_rbf))
+                if ed.mask.shape[0] != g:
+                    ed = EdgeData(mask=_first(ed.mask), idx=_first(ed.idx),
+                                  x_dir=_first(ed.x_dir),
+                                  d_rbf=_first(ed.d_rbf))
             emask = ed.mask
 
             compact = prot_dst_idx is not None and dst_nt == "prot"
@@ -766,10 +789,14 @@ class GVPMultiEdgeConv(nn.Module):
                 fused = self.fused_pp
                 if fused == "auto":
                     # same gate as the knn-selection kernel: TPU backend,
-                    # PHARMAFORGE_PALLAS=0 kill-switch
+                    # PHARMAFORGE_PALLAS=0 kill-switch. Deterministic-only:
+                    # under jax.grad the custom_vjp backward re-runs the
+                    # unfused twin (recompute), so training keeps the plain
+                    # path whose residuals XLA stores once; explicitly
+                    # setting fused_pp=True overrides.
                     from pharmaforge_tpu.ops.pallas import \
                         edge_kernel_enabled
-                    fused = edge_kernel_enabled()
+                    fused = edge_kernel_enabled() and deterministic
                 fused = (fused and ename == "pp" and ed.idx is not None
                          and not src_vectors_zero and group == 1)
                 kw = {}
@@ -783,15 +810,24 @@ class GVPMultiEdgeConv(nn.Module):
                 if fused:
                     # fused gather+chain+K-sum: pre-norm aggregates come
                     # straight off the kernel, normalization follows the
-                    # `_aggregate` conventions exactly
+                    # `_aggregate` conventions exactly. Grouped pp edges
+                    # (batched sampling) pass through at group level — the
+                    # kernel's grid reuses them across the pocket copies.
                     s_agg, v_agg = chain(h_src, v_src, ed,
                                          fused_aggregate=self.fused_pp)
                     cnt = jnp.sum(emask.astype(jnp.float32), axis=2)
+                    if ed_copies > 1:
+                        cnt = jnp.repeat(cnt, ed_copies, axis=0)
                     if use_mean:
                         denom = jnp.maximum(cnt, 1.0)
                         s_agg = s_agg / denom[..., None]
                         v_agg = v_agg / denom[..., None, None]
                 else:
+                    if ed_copies > 1:
+                        # unfused path wants per-copy rows (the broadcast
+                        # diffusion.sample_given_receptor used to do)
+                        ed = ed.expand()
+                        emask = ed.mask
                     s_msg, v_msg = chain(h_src, v_src, ed,
                                          src_vectors_zero=src_vectors_zero,
                                          **kw)

@@ -399,7 +399,8 @@ class PharmacophoreDiffusion:
         # the two most expensive once-per-call ops at full batch (profiled
         # ~3.7 ms of a ~45 ms call at 4x30 rows), and a broadcast is pure
         # sequential HBM writes. Bit-exact: identical inputs per group.
-        from pharmaforge_tpu.models.edges import EdgeData, build_pp_edge
+        from pharmaforge_tpu.models.edges import (GroupedEdgeData,
+                                                  build_pp_edge)
         if pocket_group_size > 1:
             g = b // pocket_group_size
             reps = lambda a: a.reshape((g, pocket_group_size) + a.shape[1:])[:, 0]
@@ -407,8 +408,13 @@ class PharmacophoreDiffusion:
             pp_g, ed_g = build_pp_edge(reps(prot_x0), reps(prot_mask),
                                        self.cutoffs["pp"], cfg.pp_k_max)
             pp = type(pp_g)(idx=rep(pp_g.idx), mask=rep(pp_g.mask))
-            pp_edge = EdgeData(mask=rep(ed_g.mask), idx=rep(ed_g.idx),
-                               x_dir=rep(ed_g.x_dir), d_rbf=rep(ed_g.d_rbf))
+            # keep the pp edge at GROUP level: conv0 consumes it group-
+            # level anyway, the fused middle-conv kernel reuses it across
+            # the copies, and the unfused path expands it on demand
+            # (exactly the broadcast that used to happen here)
+            pp_edge = GroupedEdgeData(mask=ed_g.mask, idx=ed_g.idx,
+                                      x_dir=ed_g.x_dir, d_rbf=ed_g.d_rbf,
+                                      copies=pocket_group_size)
             prot_h_g, prot_mask_g, pp_edge_g = reps(prot_h), reps(prot_mask), ed_g
         else:
             pp, pp_edge = build_pp_edge(prot_x0, prot_mask,

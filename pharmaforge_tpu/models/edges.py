@@ -52,6 +52,56 @@ class EdgeData(NamedTuple):
     d_rbf: Array
 
 
+class GroupedEdgeData:
+    """pp edges at pocket-GROUP level for batched sampling.
+
+    During sampling every group of `copies` consecutive batch rows is one
+    pocket tiled `copies` times (reference copy_graph replication,
+    unorganized_utils.py:28-81); the prot coords are static across the
+    chain, so the pp adjacency AND geometry are identical within a group.
+    Carrying them at group level ([G, Nd, K, ...] with B = G * copies)
+    instead of broadcasting to per-copy rows feeds the fused Pallas middle-
+    conv kernel (ops/pallas/pp_message.py) 30x less descriptor traffic and
+    lets it build its gather matrix once per group tile. Consumers that
+    need per-copy rows call `expand()` (exactly the old broadcast).
+
+    `copies` is static (hashable) — this class is registered as a pytree
+    with copies as aux data.
+    """
+
+    def __init__(self, mask, idx, x_dir, d_rbf, copies: int):
+        self.mask = mask
+        self.idx = idx
+        self.x_dir = x_dir
+        self.d_rbf = d_rbf
+        self.copies = copies
+
+    def as_edge_data(self) -> EdgeData:
+        """The group-level arrays as a plain EdgeData."""
+        return EdgeData(mask=self.mask, idx=self.idx, x_dir=self.x_dir,
+                        d_rbf=self.d_rbf)
+
+    def expand(self) -> EdgeData:
+        """Broadcast to per-copy rows ([B, Nd, K, ...], B = G * copies)."""
+        rep = lambda a: jnp.repeat(a, self.copies, axis=0)
+        return EdgeData(mask=rep(self.mask), idx=rep(self.idx),
+                        x_dir=rep(self.x_dir), d_rbf=rep(self.d_rbf))
+
+
+def _grouped_flatten(g: GroupedEdgeData):
+    return (g.mask, g.idx, g.x_dir, g.d_rbf), g.copies
+
+
+def _grouped_unflatten(copies, leaves):
+    return GroupedEdgeData(*leaves, copies=copies)
+
+
+import jax.tree_util as _jtu  # noqa: E402
+
+_jtu.register_pytree_node(GroupedEdgeData, _grouped_flatten,
+                          _grouped_unflatten)
+
+
 class PreGatheredEdgeData(NamedTuple):
     """pf edges whose source prot table is ALREADY in pf-slot order.
 

@@ -32,7 +32,15 @@ def make_batch(pockets=int(__import__("os").environ.get("AB_POCKETS", "4")), cop
         lambda *xs: np.concatenate(xs, axis=0), *tiles), copies
 
 
-base = dict(n_timesteps=100, n_convs=2, n_hidden_scalars=128,
+import os as _os
+
+# AB_T / AB_NCONVS let the same harness measure the full-scale regime
+# (reference model defaults n_convs=4 — dynamics_gvp.py:62-75) where the
+# per-copy middle convs dominate; T only scales chain length, not the
+# per-step cost being compared, so T=100 keeps full-scale A/Bs quick.
+base = dict(n_timesteps=int(_os.environ.get("AB_T", "100")),
+            n_convs=int(_os.environ.get("AB_NCONVS", "2")),
+            n_hidden_scalars=128,
             vector_size=16, message_norm="mean", n_message_gvps=3,
             n_update_gvps=2, n_noise_gvps=4, pf_k=5, pp_k_max=16,
             compute_dtype="bfloat16")

@@ -182,6 +182,73 @@ def test_dynamics_forward_fused_matches(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_grouped_edge_matches_expanded(rng):
+    """GroupedEdgeData (pocket-group-level descriptors, copies>1) through
+    the fused path == the same chain on the expanded per-copy EdgeData —
+    the batched-sampling layout where the kernel reuses one gather matrix
+    across the copies of a pocket."""
+    from pharmaforge_tpu.models.edges import GroupedEdgeData
+    g2, copies, p, nd, k, s, v = 2, 3, 23, 19, 5, 32, 8
+    b = g2 * copies
+    chain = EdgeMessageChain(scalar_size=s, vector_size=v, n_message_gvps=3)
+    h_src = jnp.asarray(rng.normal(size=(b, p, s)).astype(np.float32))
+    v_src = jnp.asarray(
+        rng.normal(scale=0.5, size=(b, p, v, 3)).astype(np.float32))
+    edge_g = make_edge(rng, g2, nd, p, k)
+    grouped = GroupedEdgeData(mask=edge_g.mask, idx=edge_g.idx,
+                              x_dir=edge_g.x_dir, d_rbf=edge_g.d_rbf,
+                              copies=copies)
+    params = chain.init(jax.random.key(0), h_src, v_src, grouped.expand())
+
+    s_g, v_g = chain.apply(params, h_src, v_src, grouped,
+                           fused_aggregate="interpret")
+    s_e, v_e = chain.apply(params, h_src, v_src, grouped.expand(),
+                           fused_aggregate="interpret")
+    np.testing.assert_allclose(np.asarray(s_g), np.asarray(s_e),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_g), np.asarray(v_e),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_sampling_grouped_fused_matches_ungrouped(rng):
+    """sample_given_receptor(pocket_group_size=C) with the fused kernel
+    (interpret) == pocket_group_size=1 with it — the full-scale sampling
+    integration of the grouped fused path."""
+    from tests.conftest import make_complex_batch
+    from pharmaforge_tpu.models.diffusion import (DiffusionConfig,
+                                                  PharmacophoreDiffusion)
+
+    copies = 3
+    batch = make_complex_batch(rng, b=2 * copies, p=24,
+                               f_valid=(4, 4, 4, 6, 6, 6),
+                               p_valid=(20,) * 3 + (24,) * 3)
+    # rows must be pocket-major groups of identical pockets
+    import numpy as _np
+    batch = batch.replace(
+        prot_x=_np.concatenate([_np.repeat(batch.prot_x[0:1], 3, 0),
+                                _np.repeat(batch.prot_x[3:4], 3, 0)]),
+        prot_h=_np.concatenate([_np.repeat(batch.prot_h[0:1], 3, 0),
+                                _np.repeat(batch.prot_h[3:4], 3, 0)]),
+        prot_mask=_np.concatenate([_np.repeat(batch.prot_mask[0:1], 3, 0),
+                                   _np.repeat(batch.prot_mask[3:4], 3, 0)]))
+    cfg = DiffusionConfig(n_timesteps=4, n_convs=3, vector_size=4,
+                          n_hidden_scalars=16, message_norm="mean",
+                          n_message_gvps=2, n_update_gvps=1, n_noise_gvps=2,
+                          pf_k=4, pp_k_max=8, fused_pp="interpret")
+    model = PharmacophoreDiffusion(cfg)
+    params = model.init_params(jax.random.key(0), batch)
+    out_g = model.sample_given_receptor(params, batch, jax.random.key(7),
+                                        pocket_group_size=copies)
+    out_u = model.sample_given_receptor(params, batch, jax.random.key(7),
+                                        pocket_group_size=1)
+    np.testing.assert_allclose(np.asarray(out_g["pharm_x"]),
+                               np.asarray(out_u["pharm_x"]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_g["pharm_h"]),
+                               np.asarray(out_u["pharm_h"]),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_gradients_flow(rng):
     """jax.grad through the fused path (custom_vjp backward = jnp twin)
     matches the unfused gradients."""
