@@ -44,8 +44,16 @@ import time
 import numpy as np
 
 # Derived A100-class estimate for the reference implementation; the full
-# arithmetic is documented in BASELINE.md ("Derived baseline").
+# arithmetic is documented in BASELINE.md ("Derived baseline"). The model
+# is kernel-launch-bound, so it scales linearly with chain length and with
+# the conv-stack depth: 125 samples/s at the dev workload (T=100,
+# n_convs=2), ~6.25 at the reference model defaults (T=1000, n_convs=4) —
+# the same scaling docs/performance.md applies by hand.
 BASELINE_SAMPLES_PER_SEC = 125.0
+
+
+def baseline_for_workload(n_timesteps: int, n_convs: int) -> float:
+    return BASELINE_SAMPLES_PER_SEC * (100.0 / n_timesteps) * (2.0 / n_convs)
 
 # Error-message substrings that mark a *transient* backend/tunnel failure
 # (worth a backend reset + retry) as opposed to a real bug in the bench.
@@ -204,6 +212,8 @@ def build_workload(args):
     )
 
     if args.quick:
+        # keep args.n_timesteps/n_convs in sync: vs_baseline scales by them
+        args.n_timesteps, args.n_convs = 10, 1
         cfg = DiffusionConfig(n_timesteps=10, n_convs=1, n_hidden_scalars=32,
                               vector_size=8, message_norm="mean",
                               n_message_gvps=2, n_update_gvps=1,
@@ -590,7 +600,10 @@ def main():
         "workload": "quick" if args.quick else "full",
         "value": round(median_rate, 3),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(median_rate / BASELINE_SAMPLES_PER_SEC, 3),
+        "vs_baseline": round(median_rate / baseline_for_workload(
+            args.n_timesteps, args.n_convs), 3),
+        "baseline_samples_per_sec": round(baseline_for_workload(
+            args.n_timesteps, args.n_convs), 2),
         "spread_min": round(min(rates), 3),
         "spread_max": round(max(rates), 3),
         "repeats": args.repeats,
