@@ -65,6 +65,16 @@ def parse_arguments():
                         'reference, the arbitrary-receptor path has none)')
     p.add_argument('--matmul_precision', type=str, default='float32',
                    choices=['float32', 'tensorfloat32', 'bfloat16'])
+    p.add_argument('--latency_mode', type=str, default='auto',
+                   choices=['auto', 'on', 'off'],
+                   help='favor single-call latency over pipelined '
+                        'throughput. This CLI is a one-pocket one-shot '
+                        'workload (the reference primary user flow, '
+                        'generate_pharmacophores.py:319-367), so "auto" '
+                        'enables the precomputed per-step tables '
+                        '(DiffusionConfig.precompute_step_tables) that '
+                        'are a measured latency win but a throughput '
+                        'loss in pipelined sweeps (docs/performance.md)')
     args = p.parse_args()
 
     if args.ckpt is not None and args.model_dir is not None:
@@ -296,6 +306,17 @@ def main():
 
     run_dir, which = resolve_run_dir(args.ckpt, args.model_dir)
     model, params, config = load_model(run_dir, which)
+
+    if args.latency_mode != 'off':
+        # single-pocket single-call workload: precomputed step tables are
+        # a latency win here (and only a loss under pipelined dispatch,
+        # which this CLI never uses). Params are config-independent, so
+        # swapping the sampling-time knob is free.
+        import dataclasses
+
+        from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
+        model = PharmacophoreDiffusion(dataclasses.replace(
+            model.config, precompute_step_tables=True))
 
     dataset_config = config['dataset']
     prot_element_map, ph_type_map = get_prot_atom_ph_type_maps(dataset_config)
