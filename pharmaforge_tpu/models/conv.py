@@ -807,21 +807,71 @@ class GVPMultiEdgeConv(nn.Module):
                     # both gather group-folded onto the per-copy dst rows
                     kw = dict(table_override=pf_table,
                               src_group_size=pf_src_group_size)
+                pre_compacted = False
                 if fused:
+                    ed_k = ed
+                    if compact:
+                        # compact the pp DESTINATION rows BEFORE the kernel:
+                        # this conv's prot aggregates are only ever read at
+                        # the F*K pf-gathered slots (`_compact_prot` used to
+                        # gather them AFTER a full-width kernel pass), so
+                        # gather the edge descriptors onto the compact slot
+                        # axis and run the kernel at Nd = F*K instead of P —
+                        # ~6x less kernel work at the full-scale shapes
+                        # (profiled: the post-gather full-width pass was
+                        # ~37% of the whole sampling step). Per-slot values
+                        # are bit-identical: each dst row's chain+K-sum
+                        # reads exactly the same inputs in the same order.
+                        pre_compacted = True
+                        c = max(ed_copies, 1)
+                        m = prot_dst_idx.shape[1]
+                        gg = ed.mask.shape[0]
+                        di = prot_dst_idx.astype(jnp.int32).reshape(
+                            gg, c * m)
+
+                        def _take(a):
+                            ix = di.reshape((gg, c * m) + (1,) *
+                                            (a.ndim - 2))
+                            return jnp.take_along_axis(a, ix, axis=1) \
+                                .reshape((b_full, m) + a.shape[2:])
+
+                        ed_k = EdgeData(mask=_take(emask),
+                                        idx=_take(ed.idx),
+                                        x_dir=_take(ed.x_dir),
+                                        d_rbf=_take(ed.d_rbf))
                     # fused gather+chain+K-sum: pre-norm aggregates come
                     # straight off the kernel, normalization follows the
                     # `_aggregate` conventions exactly. Grouped pp edges
                     # (batched sampling) pass through at group level — the
                     # kernel's grid reuses them across the pocket copies.
-                    s_agg, v_agg = chain(h_src, v_src, ed,
+                    s_agg, v_agg = chain(h_src, v_src, ed_k,
                                          fused_aggregate=self.fused_pp)
-                    cnt = jnp.sum(emask.astype(jnp.float32), axis=2)
-                    if ed_copies > 1:
-                        cnt = jnp.repeat(cnt, ed_copies, axis=0)
-                    if use_mean:
-                        denom = jnp.maximum(cnt, 1.0)
-                        s_agg = s_agg / denom[..., None]
-                        v_agg = v_agg / denom[..., None, None]
+                    if pre_compacted:
+                        # per-slot counts for the mean; the global count
+                        # (dynamic norm) comes from the FULL-width mask,
+                        # exactly like `_compact_prot`
+                        cnt_slots = jnp.sum(ed_k.mask.astype(jnp.float32),
+                                            axis=2)
+                        pm = node_masks["prot"].astype(jnp.float32)
+                        pm_g = (pm.reshape(gg, c, -1)[:, 0]
+                                if c > 1 else pm)
+                        cnt_full = jnp.sum(emask.astype(jnp.float32),
+                                           axis=2)
+                        cnt = jnp.broadcast_to(
+                            jnp.sum(cnt_full * pm_g, axis=1)[:, None],
+                            (gg, c)).reshape(b_full)
+                        if use_mean:
+                            denom = jnp.maximum(cnt_slots, 1.0)
+                            s_agg = s_agg / denom[..., None]
+                            v_agg = v_agg / denom[..., None, None]
+                    else:
+                        cnt = jnp.sum(emask.astype(jnp.float32), axis=2)
+                        if ed_copies > 1:
+                            cnt = jnp.repeat(cnt, ed_copies, axis=0)
+                        if use_mean:
+                            denom = jnp.maximum(cnt, 1.0)
+                            s_agg = s_agg / denom[..., None]
+                            v_agg = v_agg / denom[..., None, None]
                 else:
                     if ed_copies > 1:
                         # unfused path wants per-copy rows (the broadcast
@@ -836,7 +886,7 @@ class GVPMultiEdgeConv(nn.Module):
                     s_agg, v_agg, cnt = _aggregate(
                         s_msg.astype(jnp.float32), v_msg, emask,
                         mean=use_mean)
-                if compact:
+                if compact and not pre_compacted:
                     s_agg, v_agg, cnt = _compact_prot(s_agg, v_agg, cnt)
 
             if group > 1 and not compact:
