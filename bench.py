@@ -440,12 +440,18 @@ def run_train_bench(args):
         batch_size, pocket_atoms, steps_per_call, n_calls, repeats = (
             4, 64, 2, 2, 2)
     else:
-        # dev-config model, the same shapes scripts/bench_train.py defaults to
-        cfg = DiffusionConfig(n_timesteps=100, n_convs=2,
+        # same shapes scripts/bench_train.py defaults to; honors the
+        # full-scale flags (--n_timesteps 1000 --n_convs 4
+        # --endpoint_param) so the train metric covers the reference model
+        # defaults too (T only changes the gamma table, not step cost)
+        cfg = DiffusionConfig(n_timesteps=args.n_timesteps,
+                              n_convs=args.n_convs,
                               n_hidden_scalars=128, vector_size=16,
                               message_norm="mean", n_message_gvps=3,
                               n_update_gvps=2, n_noise_gvps=4, pf_k=5,
-                              dropout=0.1, pp_k_max=16)
+                              dropout=0.1, pp_k_max=16,
+                              endpoint_param_feat=args.endpoint_param,
+                              endpoint_param_coord=args.endpoint_param)
         batch_size, pocket_atoms, steps_per_call, n_calls, repeats = (
             32, 230, 8, 4, 3)
     model = PharmacophoreDiffusion(cfg)
@@ -532,7 +538,7 @@ def main():
                         "amortizes their fixed cost. 8 is the measured "
                         "knee with dedup_prot_encoder (4 was, before it "
                         "freed the VMEM the bigger batch needs; 16 adds "
-                        "~4% more with much wider spread + slower compile)")
+                        "~4%% more with much wider spread + slower compile)")
     p.add_argument("--matmul_precision", type=str, default="bfloat16",
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "

@@ -38,7 +38,12 @@ REPEATS = int(os.environ.get("AB_REPEATS", "5"))
 COPIES = int(os.environ.get("AB_COPIES", "30"))
 P_ATOMS = int(os.environ.get("AB_POCKET_ATOMS", "230"))
 
-cfg = DiffusionConfig(n_timesteps=100, n_convs=2, n_hidden_scalars=128,
+# AB_T / AB_NCONVS: the full-scale regime (n_convs=4 — reference
+# dynamics_gvp.py:62-75) has a different knee than dev; per-STEP cost is
+# T-invariant so the knee can be swept at T=100 with full-scale convs.
+cfg = DiffusionConfig(n_timesteps=int(os.environ.get("AB_T", "100")),
+                      n_convs=int(os.environ.get("AB_NCONVS", "2")),
+                      n_hidden_scalars=128,
                       vector_size=16, message_norm="mean",
                       n_message_gvps=3, n_update_gvps=2, n_noise_gvps=4,
                       pf_k=5, pp_k_max=16, compute_dtype="bfloat16")
