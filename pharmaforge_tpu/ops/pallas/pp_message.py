@@ -74,6 +74,22 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _auto_tile(k: int, dt) -> int:
+    """Default destination-tile size (rows of the dst axis per grid step).
+
+    Targets ~2048 flattened edge rows (tile_n * k) per tile at bf16: large
+    enough that the ~14 MXU row-streaming passes of the chain amortize,
+    small enough that the live set (double-buffered edge blocks, one-hot
+    scratch, chain stages) stays inside the 16 MB scoped-VMEM stack. The
+    live set is dominated by dt-typed [tile_n*k, ...] buffers, so it is
+    ~2x at float32 — measured on v5e: tile 128 @ k=16 needs 17.2 MB at f32
+    (compile-time scoped-vmem OOM) but fits with ~7 MB headroom at bf16 —
+    hence the halved row target at f32 (the eval/validation path; sampling
+    runs bf16)."""
+    rows = 2048 if dt == jnp.bfloat16 else 1024
+    return max(8, rows // max(k, 1))
+
+
 def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
             n_gvps: int, f32: bool, slice_norm: bool):
     """refs: [tab_s, tab_v, idx, mask, rterm, dirterm,
@@ -197,10 +213,7 @@ def _pallas_impl(pre_s, vh_planes, idx, mask, x_dir, d_rbf, weights, *,
 
     tile_n = int(os.environ.get("PHARMAFORGE_PP_TILE", tile_n or 0))
     if tile_n <= 0:
-        # target ~2048 flattened edge rows per tile: large enough that the
-        # ~14 MXU row-streaming passes of the chain amortize, small enough
-        # that the live set (one-hot scratch + chain stages) stays in VMEM
-        tile_n = max(8, 2048 // max(k, 1))
+        tile_n = _auto_tile(k, dt)
     tile_n = min(tile_n, _round_up(nd, 8))
     nd_pad = _round_up(nd, tile_n)
     p_pad = _round_up(p, 128)

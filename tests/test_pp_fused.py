@@ -277,3 +277,17 @@ def test_fused_gradients_flow(rng):
         lambda a, b: np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5),
         g_f, g_u)
+
+
+def test_auto_tile_is_dtype_aware():
+    """Scoped-VMEM regression (full-scale f32 validation OOM): the kernel's
+    live set is dominated by dt-typed [tile_n*k, ...] buffers, so the auto
+    tile must halve its edge-row target at float32. Measured on v5e at
+    k=16: tile 128 @ f32 needs 17.2 MB scoped VMEM (> the 16 MB limit, a
+    compile-time failure in jit(eval_step)); tile 64 @ f32 and tile 128 @
+    bf16 both fit."""
+    from pharmaforge_tpu.ops.pallas import pp_message as ppm
+    assert ppm._auto_tile(16, jnp.bfloat16) == 128
+    assert ppm._auto_tile(16, jnp.float32) == 64
+    # never degenerate, even at huge fan-in
+    assert ppm._auto_tile(512, jnp.float32) == 8
