@@ -531,14 +531,17 @@ def main():
                    help="calls enqueued back-to-back per repeat (a "
                         "multi-pocket sweep keeps the dispatch queue full; "
                         "1 = pure latency mode)")
-    p.add_argument("--pockets_per_call", type=int, default=8,
+    p.add_argument("--pockets_per_call", type=int, default=None,
                    help="distinct pockets stacked into one device batch "
                         "(PocketSampler.sample_stacked layout); per-step "
                         "ops are tiny at single-pocket batch, stacking "
-                        "amortizes their fixed cost. 8 is the measured "
-                        "knee with dedup_prot_encoder (4 was, before it "
-                        "freed the VMEM the bigger batch needs; 16 adds "
-                        "~4%% more with much wider spread + slower compile)")
+                        "amortizes their fixed cost. Default: the measured "
+                        "knee per regime — 8 at dev shapes (n_convs<4, "
+                        "with dedup_prot_encoder), 4 at full-scale convs "
+                        "(n_convs>=4, where the per-copy pp kernels "
+                        "dominate and wider batches only grow their "
+                        "working set; scripts/ab_pockets full-scale sweep: "
+                        "4 > 2,6,8,12,16)")
     p.add_argument("--matmul_precision", type=str, default="bfloat16",
                    choices=["float32", "tensorfloat32", "bfloat16"],
                    help="matmul precision for the sampling chain (bf16 rides "
@@ -561,6 +564,10 @@ def main():
                         "respawned (default: 1800 scaled up for non-default "
                         "chain length / conv depth / torch baseline)")
     args = p.parse_args()
+
+    if args.pockets_per_call is None:
+        # regime-dependent knee (see the flag help / docs/performance.md)
+        args.pockets_per_call = 8 if args.n_convs < 4 else 4
 
     if args.worker_timeout is None:
         # a legitimately long measurement must not be mistaken for a hang:
