@@ -91,7 +91,7 @@ def _auto_tile(k: int, dt) -> int:
 
 
 def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
-            n_gvps: int, f32: bool, slice_norm: bool):
+            n_gvps: int, f32: bool, slice_norm: bool, concat_gate: bool):
     """refs: [tab_s, tab_v, idx, mask, rterm, dirterm,
               sum_h, w1_sh, wg, bg, rep_v, wu_bd,
               <layer j: wh_bd, sum_h, w1f, w1sh, b1, wg, bg, wu_bd> x (n-1),
@@ -153,6 +153,15 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
     def _sigmoid(x):
         return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
 
+    def _rep3(g):
+        # gate [TK, V] -> [TK, 3V]: each MXU matmul here costs a full
+        # row-streaming pass regardless of its tiny dims, so replicating
+        # on the lane axis with a VPU concat (like the slice-norm
+        # lowering) drops a whole pass per GVP when it wins
+        if concat_gate:
+            return jnp.concatenate([g, g, g], axis=-1)
+        return _dot(g, rep_v)
+
     oh_m = oh[...]
     g_s = _dot(oh_m, tab_s)                                    # [TK, S]
     g_v = _dot(oh_m, tab_v)                                    # [TK, 3H]
@@ -162,7 +171,7 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
     sh = _norms(vh, sum_h)                                     # [TK, H]
     feats = _silu(g_s + rterm + _dot(sh, w1_sh))               # [TK, S]
     gate = _sigmoid(_dot(feats, wg) + bg)                      # [TK, V]
-    vec = _dot(gate, rep_v) * _dot(vh, wu_bd)                  # [TK, 3V]
+    vec = _rep3(gate) * _dot(vh, wu_bd)                        # [TK, 3V]
 
     # ---- message GVPs 1..n-1 --------------------------------------------
     for (wh_bd, sum_hj, w1f, w1sh, b1j, wgj, bgj, wu_bdj) in layers:
@@ -170,7 +179,7 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
         shj = _norms(vhj, sum_hj)                              # [TK, H]
         feats = _silu(_dot(feats, w1f) + _dot(shj, w1sh) + b1j)
         gate = _sigmoid(_dot(feats, wgj) + bgj)
-        vec = _dot(gate, rep_v) * _dot(vhj, wu_bdj)
+        vec = _rep3(gate) * _dot(vhj, wu_bdj)
 
     # ---- masked sum over the K neighbor slots ---------------------------
     m = mask.astype(jnp.float32)                               # [TK, 1]
@@ -286,7 +295,9 @@ def _pallas_impl(pre_s, vh_planes, idx, mask, x_dir, d_rbf, weights, *,
         functools.partial(_kernel, s=s, v=v, h=h, k=k, tile_n=tile_n,
                           n_gvps=n_gvps, f32=f32,
                           slice_norm=os.environ.get(
-                              "PHARMAFORGE_PP_NORM", "slice") == "slice"),
+                              "PHARMAFORGE_PP_NORM", "slice") == "slice",
+                          concat_gate=os.environ.get(
+                              "PHARMAFORGE_PP_GATE", "concat") == "concat"),
         grid=grid,
         in_specs=tab_spec + edge_spec + w_spec,
         out_specs=out_spec,

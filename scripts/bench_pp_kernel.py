@@ -19,6 +19,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tiles", default="64,128,232")
     ap.add_argument("--norms", default="matmul,slice")
+    ap.add_argument("--gates", default="matmul,concat")
     ap.add_argument("--g2", type=int, default=8)
     ap.add_argument("--copies", type=int, default=30)
     ap.add_argument("--p", type=int, default=230)
@@ -83,17 +84,21 @@ def main():
 
     for tile in args.tiles.split(","):
         for norm in args.norms.split(","):
-            os.environ["PHARMAFORGE_PP_NORM"] = norm
+            for gate in args.gates.split(","):
+                os.environ["PHARMAFORGE_PP_NORM"] = norm
+                os.environ["PHARMAFORGE_PP_GATE"] = gate
 
-            def fused(pr, hh, vv, _tile=int(tile)):
-                os.environ["PHARMAFORGE_PP_TILE"] = str(_tile)
-                return chain.apply(pr, hh, vv, grouped,
-                                   fused_aggregate=True)
+                def fused(pr, hh, vv, _tile=int(tile)):
+                    os.environ["PHARMAFORGE_PP_TILE"] = str(_tile)
+                    return chain.apply(pr, hh, vv, grouped,
+                                       fused_aggregate=True)
 
-            os.environ["PHARMAFORGE_PP_TILE"] = tile
-            timed(jax.jit(fused), f"fused tile={tile} norm={norm}")
+                os.environ["PHARMAFORGE_PP_TILE"] = tile
+                timed(jax.jit(fused),
+                      f"fused tile={tile} norm={norm} gate={gate}")
     os.environ.pop("PHARMAFORGE_PP_TILE", None)
     os.environ.pop("PHARMAFORGE_PP_NORM", None)
+    os.environ.pop("PHARMAFORGE_PP_GATE", None)
 
 
 if __name__ == "__main__":
