@@ -84,7 +84,20 @@ class RunCheckpointer:
     # ------------------------------------------------------------------ api
 
     def save(self, state: dict, meta: dict, metric: Optional[float] = None):
-        """Save `last` and update the top-k set."""
+        """Save `last` and update the top-k set.
+
+        Rank discipline is enforced HERE, not only in the Trainer: under
+        jax.distributed each process holds a standalone checkpointer (the
+        ctor's per-process multiprocessing options), so nothing else stops
+        a non-zero rank from concurrently writing/deleting the same run
+        directory if some future caller (save-on-exit hooks, scripts using
+        RunCheckpointer directly) forgets the Trainer's early return.
+        """
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            raise RuntimeError(
+                f"RunCheckpointer.save called on process "
+                f"{jax.process_index()}: only process 0 may write the run "
+                f"directory (concurrent writers corrupt last/ and top-k)")
         step = int(meta.get("step", 0))
         if self.save_last:
             self._write(self.ckpt_dir / "last", state, meta)

@@ -103,6 +103,10 @@ class Trainer:
         self.config = config
         self.run_dir = Path(run_dir)
         self.debug = debug
+        # cross-host batch-identity check cadence (see _to_local); 0 means
+        # "due now" so the very first batch is always verified
+        self._ident_check_every = 100
+        self._ident_check_countdown = 0
         self.seed = seed
 
         tr = config["training"]
@@ -202,12 +206,43 @@ class Trainer:
         """Under jax.distributed, slice the (globally identical, already
         padded) batch down to this process's `process_local_rows` before
         `shard_batch` assembles the global array — each host materializes
-        only the rows its own devices hold (parallel/mesh.py contract)."""
+        only the rows its own devices hold (parallel/mesh.py contract).
+
+        That contract rests on every host's loader yielding byte-identical
+        global batches purely from the shared seed; a divergence (e.g.
+        num_workers>0 nondeterminism, per-host filesystem ordering) would
+        silently assemble a corrupted global batch. Cross-check a digest of
+        the batch across processes every `_ident_check_every` batches
+        (every batch under --debug) and fail loudly on mismatch.
+        """
         if self.n_processes <= 1:
             return batch
+        if self._ident_check_countdown <= 0:
+            self._assert_batch_identical(batch)
+            self._ident_check_countdown = 1 if self.debug \
+                else self._ident_check_every
+        self._ident_check_countdown -= 1
         start, stop = process_local_rows(batch.pharm_x.shape[0], self.mesh)
         return jax.tree_util.tree_map(lambda a: np.asarray(a)[start:stop],
                                       batch)
+
+    def _assert_batch_identical(self, batch):
+        """All-gather a CRC of the global batch and require every process
+        to agree before slicing it (silent-divergence guard)."""
+        import zlib
+        from jax.experimental import multihost_utils
+        crc = 0
+        for leaf in jax.tree_util.tree_leaves(batch):
+            crc = zlib.crc32(np.ascontiguousarray(leaf).tobytes(), crc)
+        digests = np.asarray(multihost_utils.process_allgather(
+            np.asarray([crc], dtype=np.uint32))).reshape(-1)
+        if not (digests == digests[0]).all():
+            raise RuntimeError(
+                "data-parallel batch divergence: per-process batch digests "
+                f"{digests.tolist()} differ (process {jax.process_index()}). "
+                "Each host's dataloader must yield byte-identical global "
+                "batches from the shared seed; check num_workers / dataset "
+                "determinism.")
 
     # ----------------------------------------------------------------- fit
 
