@@ -789,16 +789,24 @@ class GVPMultiEdgeConv(nn.Module):
                 fused = self.fused_pp
                 if fused == "auto":
                     # same gate as the knn-selection kernel: TPU backend,
-                    # PHARMAFORGE_PALLAS=0 kill-switch. Deterministic-only:
-                    # under jax.grad the custom_vjp backward re-runs the
-                    # unfused twin (recompute), so training keeps the plain
-                    # path whose residuals XLA stores once; explicitly
-                    # setting fused_pp=True overrides.
+                    # PHARMAFORGE_PALLAS=0 kill-switch. Training
+                    # (non-deterministic) engages too now that the backward
+                    # is its own flash-style Pallas kernel — fused HBM bytes
+                    # in both directions; PHARMAFORGE_PP_BWD=0 restores the
+                    # old deterministic-only gate (the twin backward would
+                    # re-materialize the unfused chain, a net loss).
                     from pharmaforge_tpu.ops.pallas import \
                         edge_kernel_enabled
-                    fused = edge_kernel_enabled() and deterministic
-                fused = (fused and ename == "pp" and ed.idx is not None
-                         and not src_vectors_zero and group == 1)
+                    from pharmaforge_tpu.ops.pallas.pp_message import \
+                        bwd_kernel_enabled
+                    fused = edge_kernel_enabled() and (
+                        deterministic or bwd_kernel_enabled())
+                # keep the resolved value itself (it may be the string
+                # "interpret", which fused_aggregate= distinguishes from
+                # True) — a plain `and` chain would collapse it to a bool
+                if not (ename == "pp" and ed.idx is not None
+                        and not src_vectors_zero and group == 1):
+                    fused = False
                 kw = {}
                 if ename == "pf" and (pf_table is not None
                                       or pf_src_group_size > 1):
@@ -845,7 +853,7 @@ class GVPMultiEdgeConv(nn.Module):
                     # (batched sampling) pass through at group level — the
                     # kernel's grid reuses them across the pocket copies.
                     s_agg, v_agg = chain(h_src, v_src, ed_k,
-                                         fused_aggregate=self.fused_pp)
+                                         fused_aggregate=fused)
                     if pre_compacted:
                         # per-slot counts for the mean; the global count
                         # (dynamic norm) comes from the FULL-width mask,
