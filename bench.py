@@ -531,7 +531,11 @@ def run_fullscale_bench(args):
     model, batch, group, *_ = build_workload(fs)
     sres = run_sampling_bench(fs, model, batch, group)
     rate = statistics.median(sres["rates"])
+    # full-scale TRAIN steps/s rides along too (run_train_bench honors the
+    # n_convs=4/endpoint flags; the fused Pallas backward engages here)
+    tres = ({} if args.skip_train_bench else run_train_bench(fs))
     return {
+        **{f"fullscale_{k}": v for k, v in tres.items()},
         "fullscale_samples_per_sec": round(rate, 3),
         "fullscale_spread_min": round(min(sres["rates"]), 3),
         "fullscale_spread_max": round(max(sres["rates"]), 3),
