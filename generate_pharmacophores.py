@@ -67,14 +67,16 @@ def parse_arguments():
                    choices=['float32', 'tensorfloat32', 'bfloat16'])
     p.add_argument('--latency_mode', type=str, default='auto',
                    choices=['auto', 'on', 'off'],
-                   help='favor single-call latency over pipelined '
-                        'throughput. This CLI is a one-pocket one-shot '
-                        'workload (the reference primary user flow, '
-                        'generate_pharmacophores.py:319-367), so "auto" '
-                        'enables the precomputed per-step tables '
-                        '(DiffusionConfig.precompute_step_tables) that '
-                        'are a measured latency win but a throughput '
-                        'loss in pipelined sweeps (docs/performance.md)')
+                   help='precomputed per-step tables '
+                        '(DiffusionConfig.precompute_step_tables) for the '
+                        'sampling chain. Measured at full scale '
+                        '(T=1000, n_convs=4, 240-atom pocket — '
+                        'scripts/ab_gen_latency.py): the tables are ~2 s '
+                        'WORSE on the cold first call this one-shot CLI '
+                        'actually pays (table build + extra compile) and '
+                        'within 4%% warm, so "auto" now resolves to OFF '
+                        'here; "on" keeps the tables for repeated-call '
+                        'uses of this process (docs/performance.md)')
     args = p.parse_args()
 
     if args.ckpt is not None and args.model_dir is not None:
@@ -307,11 +309,14 @@ def main():
     run_dir, which = resolve_run_dir(args.ckpt, args.model_dir)
     model, params, config = load_model(run_dir, which)
 
-    if args.latency_mode != 'off':
-        # single-pocket single-call workload: precomputed step tables are
-        # a latency win here (and only a loss under pipelined dispatch,
-        # which this CLI never uses). Params are config-independent, so
-        # swapping the sampling-time knob is free.
+    if args.latency_mode == 'on':
+        # 'auto' resolves to OFF: the full-scale A/B
+        # (scripts/ab_gen_latency.py, docs/performance.md round 5) measured
+        # the tables ~2 s worse on the cold first call this one-shot CLI
+        # pays (T=1000 table build + an extra compiled program) and within
+        # 4% warm — the dev-shape "latency win" does not transfer. Params
+        # are config-independent, so the knob stays free to flip on for
+        # callers that sample repeatedly in one process.
         import dataclasses
 
         from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion

@@ -19,7 +19,7 @@ import yaml
 from pharmaforge_tpu.config.load_from_config import model_from_config
 from pharmaforge_tpu.data.batch import PharmComplexBatch
 from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
-from pharmaforge_tpu.training.checkpoints import RunCheckpointer, abstract_like
+from pharmaforge_tpu.training.checkpoints import RunCheckpointer
 
 
 def resolve_run_dir(ckpt: Optional[Path], model_dir: Optional[Path]
@@ -83,9 +83,13 @@ def load_model(run_dir: Path, which: str = "last"
         params = load_torch_checkpoint(str(which), model.config)
         return model, params, config
 
-    template_params = jax.device_get(
-        model.init_params(jax.random.key(0), dummy_batch(model)))
+    # shapes only: eval_shape traces init without compiling or running it.
+    # The previous real `init_params` call compiled the full model just to
+    # be thrown away — measured 341.7 s of the generate CLI's wall time at
+    # full scale on the axon-tunneled TPU (scripts/ab_gen_latency.py);
+    # eval_shape makes checkpoint load effectively instant.
+    template_params = jax.eval_shape(
+        model.init_params, jax.random.key(0), dummy_batch(model))
     ckptr = RunCheckpointer(run_dir)
-    restored, _ = ckptr.restore(
-        {"params": abstract_like(template_params)}, which=which)
+    restored, _ = ckptr.restore({"params": template_params}, which=which)
     return model, restored["params"], config
