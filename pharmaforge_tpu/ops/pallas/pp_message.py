@@ -105,21 +105,53 @@ def _round_up(x: int, m: int) -> int:
 def _auto_tile(k: int, dt) -> int:
     """Default destination-tile size (rows of the dst axis per grid step).
 
-    Targets ~2048 flattened edge rows (tile_n * k) per tile at bf16: large
-    enough that the ~14 MXU row-streaming passes of the chain amortize,
-    small enough that the live set (double-buffered edge blocks, one-hot
-    scratch, chain stages) stays inside the 16 MB scoped-VMEM stack. The
-    live set is dominated by dt-typed [tile_n*k, ...] buffers, so it is
-    ~2x at float32 — measured on v5e: tile 128 @ k=16 needs 17.2 MB at f32
-    (compile-time scoped-vmem OOM) but fits with ~7 MB headroom at bf16 —
-    hence the halved row target at f32 (the eval/validation path; sampling
-    runs bf16)."""
-    rows = 2048 if dt == jnp.bfloat16 else 1024
+    bf16 targets ~4096 flattened edge rows (tile_n * k) per tile: measured
+    on v5e at the full-scale shape (nd=230 padded to 256, k=16, 4 groups x
+    30 copies) tile=256 beats the old 2048-row tile=128 default 3.54 vs
+    3.88 ms/call — the per-grid-step fixed cost (~2.9 us) dominates once
+    the chain's row-streaming passes amortize, and the live set still fits
+    scoped VMEM at 4096 rows. float32 keeps the halved 1024-row target:
+    tile 128 @ k=16 needs 17.2 MB at f32 (compile-time scoped-vmem OOM) —
+    the eval/validation path; sampling runs bf16."""
+    rows = 4096 if dt == jnp.bfloat16 else 1024
     return max(8, rows // max(k, 1))
 
 
+def _choose_tile(nd: int, k: int, dt) -> int:
+    """Pick the tile minimizing the measured per-call cost model:
+
+        cost(t) = padded_rows * c_row + grid_steps * c_step
+
+    with c_row ~= 3.1 ns/edge-row (chain compute at bf16) and c_step ~=
+    2.9 us of fixed per-grid-step overhead (both fenced on v5e,
+    scripts/bench_pp_kernel.py round 5). This also avoids the padding trap
+    the plain row-target heuristic falls into (e.g. nd=230 with tile 192
+    pads the dst axis to 384 — measured 5.3 ms vs 3.5 at tile 256).
+
+    Candidates stay on multiples of 64 (the measured tile family;
+    off-family tiles like 232 sent Mosaic compile time from ~8 to >25
+    min on the axon compile service) — except small destinations
+    (nd_pad8 < 64, e.g. the pre-compacted call's 40 slots), which keep
+    the exact one-tile shape round 4 measured."""
+    nd8 = _round_up(nd, 8)
+    budget = _auto_tile(k, dt)
+    if min(budget, nd8) <= 64:
+        return min(budget, nd8)
+    # a tile slightly above nd is fine (the dst axis pads to one tile:
+    # nd=230 @ tile 256 is the measured best full-scale shape)
+    t_max = min(budget, _round_up(nd, 64))
+    best, best_cost = 64, float("inf")
+    for t in range(64, t_max + 1, 64):
+        nd_pad = _round_up(nd, t)
+        cost = nd_pad * k * 3.1 + (nd_pad // t) * 2900.0
+        if cost < best_cost - 1e-9:
+            best, best_cost = t, cost
+    return best
+
+
 def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
-            n_gvps: int, f32: bool, slice_norm: bool, concat_gate: bool):
+            n_gvps: int, f32: bool, slice_norm: bool, concat_gate: bool,
+            act: str = "f32"):
     """refs: [tab_s, tab_v, idx, mask, rterm, dirterm,
               sum_h, w1_sh, wg, bg, rep_v, wu_bd,
               <layer j: wh_bd, sum_h, w1f, w1sh, b1, wg, bg, wu_bd> x (n-1),
@@ -172,14 +204,32 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
                               preferred_element_type=jnp.float32)
         return jnp.sqrt(jnp.maximum(tot, 1e-8)).astype(dt)
 
-    # fp32 nonlinearities: Mosaic cannot lower `logistic` on bf16 operands,
-    # and fp32 transcendentals only tighten the bf16-mode numerics
-    def _silu(x):
-        xf = x.astype(jnp.float32)
-        return (xf * jax.nn.sigmoid(xf)).astype(dt)
+    # fp32 nonlinearities by default: Mosaic cannot lower `logistic` on
+    # bf16 operands, and fp32 transcendentals only tighten the bf16-mode
+    # numerics. PHARMAFORGE_PP_ACT variants exist for kernel-cost
+    # experiments: "bf16" computes exp on bf16 operands (looser numerics),
+    # "none" replaces the transcendentals with cheap linear ops — WRONG
+    # results, a diagnostic to measure the transcendental share only.
+    if act == "bf16":
+        def _sigmoid(x):
+            e = jnp.exp(-(x.astype(dt)))
+            return (1.0 / (1.0 + e.astype(jnp.float32))).astype(dt)
 
-    def _sigmoid(x):
-        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
+        def _silu(x):
+            return x * _sigmoid(x)
+    elif act == "none":
+        def _silu(x):
+            return x * 0.5
+
+        def _sigmoid(x):
+            return x * 0.25 + 0.5
+    else:
+        def _silu(x):
+            xf = x.astype(jnp.float32)
+            return (xf * jax.nn.sigmoid(xf)).astype(dt)
+
+        def _sigmoid(x):
+            return jax.nn.sigmoid(x.astype(jnp.float32)).astype(dt)
 
     def _rep3(g):
         # gate [TK, V] -> [TK, 3V]: each MXU matmul here costs a full
@@ -250,8 +300,9 @@ def _pallas_impl(pre_s, vh_planes, idx, mask, x_dir, d_rbf, weights, *,
 
     tile_n = int(os.environ.get("PHARMAFORGE_PP_TILE", tile_n or 0))
     if tile_n <= 0:
-        tile_n = _auto_tile(k, dt)
-    tile_n = min(tile_n, _round_up(nd, 8))
+        tile_n = _choose_tile(nd, k, dt)  # may exceed nd (one padded tile)
+    else:
+        tile_n = min(tile_n, _round_up(nd, 8))
     nd_pad = _round_up(nd, tile_n)
     p_pad = _round_up(p, 128)
 
@@ -325,7 +376,8 @@ def _pallas_impl(pre_s, vh_planes, idx, mask, x_dir, d_rbf, weights, *,
                           slice_norm=os.environ.get(
                               "PHARMAFORGE_PP_NORM", "slice") == "slice",
                           concat_gate=os.environ.get(
-                              "PHARMAFORGE_PP_GATE", "concat") == "concat"),
+                              "PHARMAFORGE_PP_GATE", "concat") == "concat",
+                          act=os.environ.get("PHARMAFORGE_PP_ACT", "f32")),
         grid=grid,
         in_specs=tab_spec + edge_spec + w_spec,
         out_specs=out_spec,

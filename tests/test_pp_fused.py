@@ -418,12 +418,27 @@ def test_fused_gradients_flow(rng):
 def test_auto_tile_is_dtype_aware():
     """Scoped-VMEM regression (full-scale f32 validation OOM): the kernel's
     live set is dominated by dt-typed [tile_n*k, ...] buffers, so the auto
-    tile must halve its edge-row target at float32. Measured on v5e at
-    k=16: tile 128 @ f32 needs 17.2 MB scoped VMEM (> the 16 MB limit, a
-    compile-time failure in jit(eval_step)); tile 64 @ f32 and tile 128 @
-    bf16 both fit."""
+    tile must keep a much smaller edge-row budget at float32 (measured on
+    v5e at k=16: tile 128 @ f32 needs 17.2 MB scoped VMEM > the 16 MB
+    limit; tile 64 @ f32 fits; bf16 runs fine at 4x those rows — round-5
+    sweep, docs/performance.md)."""
     from pharmaforge_tpu.ops.pallas import pp_message as ppm
-    assert ppm._auto_tile(16, jnp.bfloat16) == 128
+    assert ppm._auto_tile(16, jnp.bfloat16) == 256
     assert ppm._auto_tile(16, jnp.float32) == 64
     # never degenerate, even at huge fan-in
     assert ppm._auto_tile(512, jnp.float32) == 8
+
+
+def test_choose_tile_cost_model():
+    """The cost-model tile chooser must (a) respect the f32 VMEM budget,
+    (b) avoid the padding trap (nd=230 must not pick a tile that pads the
+    dst axis to 384 — measured 1.5x slower), (c) never degenerate."""
+    from pharmaforge_tpu.ops.pallas import pp_message as ppm
+    t_bf = ppm._choose_tile(230, 16, jnp.bfloat16)
+    assert t_bf * 16 <= 4096
+    # whatever it picks must pad 230 to at most 256 rows
+    pad = -230 % t_bf
+    assert 230 + pad <= 256, (t_bf, pad)
+    assert ppm._choose_tile(230, 16, jnp.float32) * 16 <= 1024
+    assert ppm._choose_tile(40, 16, jnp.bfloat16) == 40  # compact call
+    assert ppm._choose_tile(8, 16, jnp.float32) == 8
