@@ -105,15 +105,17 @@ def _round_up(x: int, m: int) -> int:
 def _auto_tile(k: int, dt) -> int:
     """Default destination-tile size (rows of the dst axis per grid step).
 
-    bf16 targets ~4096 flattened edge rows (tile_n * k) per tile: measured
-    on v5e at the full-scale shape (nd=230 padded to 256, k=16, 4 groups x
-    30 copies) tile=256 beats the old 2048-row tile=128 default 3.54 vs
-    3.88 ms/call — the per-grid-step fixed cost (~2.9 us) dominates once
-    the chain's row-streaming passes amortize, and the live set still fits
-    scoped VMEM at 4096 rows. float32 keeps the halved 1024-row target:
-    tile 128 @ k=16 needs 17.2 MB at f32 (compile-time scoped-vmem OOM) —
-    the eval/validation path; sampling runs bf16."""
-    rows = 4096 if dt == jnp.bfloat16 else 1024
+    bf16 targets ~2048 flattened edge rows (tile_n * k) per tile — the
+    scoped-VMEM ceiling, not a latency optimum: Mosaic's compile-time
+    stack accounting at the production shape (nd=230, k=16, S=128) charges
+    ~4.8 KB per edge row, so 2048 rows ≈ 10 MB fits the 16 MB scoped
+    limit while 3712 rows (tile 232) hits 17.9 MB and 4096 rows (tile
+    256) 23.4 MB — both VERIFIED compile-time vmem OOMs on the v5e
+    compile service (round 5; an earlier microbench claim that 4096 rows
+    fit was wrong). float32 keeps the halved 1024-row target: tile 128 @
+    k=16 needs 17.2 MB at f32 — the eval/validation path; sampling runs
+    bf16."""
+    rows = 2048 if dt == jnp.bfloat16 else 1024
     return max(8, rows // max(k, 1))
 
 
@@ -126,13 +128,16 @@ def _choose_tile(nd: int, k: int, dt) -> int:
     2.9 us of fixed per-grid-step overhead (both fenced on v5e,
     scripts/bench_pp_kernel.py round 5). This also avoids the padding trap
     the plain row-target heuristic falls into (e.g. nd=230 with tile 192
-    pads the dst axis to 384 — measured 5.3 ms vs 3.5 at tile 256).
+    pads the dst axis to 384 rows of dead chain work).
 
     Candidates stay on multiples of 64 (the measured tile family;
     off-family tiles like 232 sent Mosaic compile time from ~8 to >25
     min on the axon compile service) — except small destinations
     (nd_pad8 < 64, e.g. the pre-compacted call's 40 slots), which keep
-    the exact one-tile shape round 4 measured."""
+    the exact one-tile shape round 4 measured. The `_auto_tile` row
+    budget is a hard scoped-VMEM ceiling (see its docstring: >2048 bf16
+    rows is a verified compile-time OOM), so the model only ever chooses
+    within the known-compiling family."""
     nd8 = _round_up(nd, 8)
     budget = _auto_tile(k, dt)
     if min(budget, nd8) <= 64:

@@ -423,7 +423,7 @@ def test_auto_tile_is_dtype_aware():
     limit; tile 64 @ f32 fits; bf16 runs fine at 4x those rows — round-5
     sweep, docs/performance.md)."""
     from pharmaforge_tpu.ops.pallas import pp_message as ppm
-    assert ppm._auto_tile(16, jnp.bfloat16) == 256
+    assert ppm._auto_tile(16, jnp.bfloat16) == 128
     assert ppm._auto_tile(16, jnp.float32) == 64
     # never degenerate, even at huge fan-in
     assert ppm._auto_tile(512, jnp.float32) == 8
@@ -435,7 +435,9 @@ def test_choose_tile_cost_model():
     dst axis to 384 — measured 1.5x slower), (c) never degenerate."""
     from pharmaforge_tpu.ops.pallas import pp_message as ppm
     t_bf = ppm._choose_tile(230, 16, jnp.bfloat16)
-    assert t_bf * 16 <= 4096
+    # 2048-row scoped-VMEM ceiling: 3712/4096-row tiles are verified
+    # compile-time OOMs at the production shape (round 5)
+    assert t_bf * 16 <= 2048
     # whatever it picks must pad 230 to at most 256 rows
     pad = -230 % t_bf
     assert 230 + pad <= 256, (t_bf, pad)
