@@ -323,10 +323,19 @@ def run_sampling_bench(args, model, batch, group):
 
     params = model.init_params(jax.random.key(0), batch)
 
+    # middle-conv pocket-copy correction (models/conv.py `pp_correction`):
+    # same probe + static k_out the PocketSampler CLIs use
+    k_out = 0
+    if group > 1:
+        from pharmaforge_tpu.training.sampling import probe_pp_k_out
+        k_out = probe_pp_k_out(model, batch.prot_x[::group],
+                               batch.prot_mask[::group])
+
     def fn(p, b, k):
         # rows are pocket-major groups of `group` copies each, so the chain
         # dedups the per-copy prot-prot work within every pocket group
-        return model.sample_given_receptor(p, b, k, pocket_group_size=group)
+        return model.sample_given_receptor(p, b, k, pocket_group_size=group,
+                                           pp_k_out=k_out)
 
     # every sync below goes through utils.timing.fence, NOT
     # block_until_ready: on this tunneled deployment block_until_ready can

@@ -85,6 +85,20 @@ def _gather_neighbors(h_src: Array, v_src: Array, idx: Array,
     return h_g, v_g
 
 
+def message_norm_is_dynamic(mn) -> bool:
+    """True when the resolved message_norm requests the per-graph dynamic
+    average-degree normalization (value 0 — reference gvp.py:504-507),
+    which couples every atom's update to the per-copy pharm sizes and so
+    breaks the pocket-copy correction invariants."""
+    if isinstance(mn, str):
+        return False
+    if isinstance(mn, tuple):
+        mn = dict(mn)
+    if isinstance(mn, dict):
+        return any(float(v) == 0.0 for v in mn.values())
+    return float(mn) == 0.0
+
+
 class _LinearParams(nn.Module):
     """Declares a TorchLinear-compatible (kernel, bias) pair without the
     forward pass, so a hoisted computation can consume the raw tensors while
@@ -628,7 +642,9 @@ class GVPMultiEdgeConv(nn.Module):
                  pp_precomputed: Optional[tuple] = None,
                  pf_table: Optional[Array] = None,
                  pf_src_group_size: int = 1,
-                 prot_feats_group_size: int = 1) -> Dict[str, NodeData]:
+                 prot_feats_group_size: int = 1,
+                 emit_clean_prot: bool = False,
+                 pp_correction: Optional[dict] = None):
         """`bundle` carries per-edge-type adjacency + geometry precomputed
         once per denoiser forward (models/edges.py) — gathered neighbor
         lists where the source fan-in is narrow (pp, knn-mode pf), full
@@ -676,12 +692,39 @@ class GVPMultiEdgeConv(nn.Module):
         full batch); only valid with a compact prot tail, whose residual
         gather then folds the copies into the gather — compact coords come
         back as zeros, which is safe because downstream convs read geometry
-        from the precomputed bundle, never from NodeData coords."""
+        from the precomputed bundle, never from NodeData coords.
+
+        `emit_clean_prot` (conv0 of the correction dataflow) additionally
+        returns the "clean" prot state — the same update computed at pocket-
+        GROUP level WITHOUT the per-copy fp contribution. Since fp messages
+        only land on the pf-listed atoms (reference dynamics_gvp.py:206-215,
+        fp = reversed pf pairs), the actual per-copy conv0 output equals the
+        clean state everywhere EXCEPT those atoms — the invariant the next
+        conv's `pp_correction` path builds on. Requires a grouped pp edge,
+        deterministic mode, and a non-dynamic message_norm (dynamic
+        average-degree norm couples every atom to the per-copy pharm sizes).
+        Return becomes (out, (clean_h [G,P,S], clean_v [G,P,V,3])).
+
+        `pp_correction` (the conv AFTER an emit_clean_prot conv) replaces
+        the per-copy full-width fused pp chain — the dominant device-time
+        op at full scale (docs/performance.md round-5 trace: ~51%) — with:
+        one group-level per-edge pass over the CLEAN state, plus a per-copy
+        pass over only the pp out-edges of that copy's dirty atoms, scatter-
+        added as (actual - clean) message differences. Exact up to float
+        reassociation because non-dirty sources produce identical messages.
+        Keys: clean_h/clean_v [G,P,...], slots [B,m] dirty atom ids,
+        slot_mask [B,m] (valid & first-occurrence dedup), out_eid/out_mask
+        [B,m,K_out] flat pp edge ids per dirty atom (models/edges.py
+        build_pp_out_edges). Only engages on the fused-kernel path with a
+        grouped pp edge; otherwise silently ignored (plain path fallback)."""
         use_mean, norm_values = self._norm_mode()
         dropout = GVPDropout(self.dropout, name="dropout")
 
         agg = {"pharm": None, "prot": None}
         counts = {"pharm": 0.0, "prot": 0.0}
+        clean_pp_agg = None
+        if emit_clean_prot and not deterministic:
+            raise ValueError("emit_clean_prot requires deterministic mode")
 
         for etype in ETYPES:
             src_nt, ename, dst_nt = etype
@@ -816,7 +859,85 @@ class GVPMultiEdgeConv(nn.Module):
                     kw = dict(table_override=pf_table,
                               src_group_size=pf_src_group_size)
                 pre_compacted = False
-                if fused:
+                corr_active = (pp_correction is not None and ename == "pp"
+                               and bool(fused) and ed_copies > 1
+                               and not compact and not src_vectors_zero)
+                if corr_active:
+                    # ---- grouped clean pass + sparse per-copy correction --
+                    # (see the docstring; exactness notes in
+                    # tests/test_pp_corr.py and docs/performance.md)
+                    pc = pp_correction
+                    gg = ed.mask.shape[0]
+                    cc_n = ed_copies
+                    kpp = ed.idx.shape[2]
+                    rdim = self.rbf_dim
+                    nd_pp = ed.mask.shape[1]
+                    e_all = nd_pp * kpp
+                    # (1) per-edge clean messages at group level: the k=1
+                    # layout makes the kernel's masked K-sum the identity,
+                    # so each output row IS one edge's message
+                    ed_flat = EdgeData(
+                        mask=ed.mask.reshape(gg, e_all, 1),
+                        idx=ed.idx.reshape(gg, e_all, 1),
+                        x_dir=ed.x_dir.reshape(gg, e_all, 1, 3),
+                        d_rbf=ed.d_rbf.reshape(gg, e_all, 1, rdim))
+                    s_e, v_e = chain(pc["clean_h"], pc["clean_v"], ed_flat,
+                                     fused_aggregate=fused)
+                    # (2) clean group aggregate = reshape-sum of the masked
+                    # per-edge rows (same adds as the kernel's K-sum)
+                    s_clean = jnp.sum(
+                        s_e.reshape(gg, nd_pp, kpp, -1), axis=2)
+                    v_clean = jnp.sum(
+                        v_e.reshape(gg, nd_pp, kpp, v_e.shape[-2], 3),
+                        axis=2)
+                    # (3) actual-side messages on the dirty atoms' out-edges
+                    slots = pc["slots"]                         # [B, m]
+                    b_corr, m_d = slots.shape
+                    ko = pc["out_eid"].shape[2]
+                    hA = jnp.take_along_axis(h_src, slots[..., None], axis=1)
+                    vA = jnp.take_along_axis(v_src, slots[..., None, None],
+                                             axis=1)
+                    eid = pc["out_eid"].reshape(b_corr, m_d * ko)
+                    emk_c = (pc["slot_mask"][..., None]
+                             & pc["out_mask"]).reshape(b_corr, m_d * ko)
+                    gidx = jnp.arange(b_corr) // cc_n
+                    xd_flat = ed.x_dir.reshape(gg, e_all, 3)[gidx]
+                    rbf_flat = ed.d_rbf.reshape(gg, e_all, rdim)[gidx]
+                    xd_corr = jnp.take_along_axis(xd_flat, eid[..., None],
+                                                  axis=1)
+                    rbf_corr = jnp.take_along_axis(rbf_flat, eid[..., None],
+                                                   axis=1)
+                    idx_corr = jnp.broadcast_to(
+                        jnp.arange(m_d, dtype=jnp.int32)[None, :, None],
+                        (b_corr, m_d, ko)).reshape(b_corr, m_d * ko, 1)
+                    ed_corr = EdgeData(mask=emk_c[..., None],
+                                       idx=idx_corr,
+                                       x_dir=xd_corr[:, :, None, :],
+                                       d_rbf=rbf_corr[:, :, None, :])
+                    s_a, v_a = chain(hA, vA, ed_corr, fused_aggregate=fused)
+                    # (4) matching clean per-edge values, masked identically
+                    mker = emk_c.astype(jnp.float32)
+                    s_c = jnp.take_along_axis(
+                        s_e[gidx], eid[..., None], axis=1) * mker[..., None]
+                    v_c = (jnp.take_along_axis(
+                        v_e.reshape(gg, e_all, -1)[gidx], eid[..., None],
+                        axis=1).reshape(v_a.shape)
+                        * mker[..., None, None])
+                    # (5) broadcast clean aggregate + scatter the difference
+                    dst = (eid // kpp).astype(jnp.int32)
+                    bi = jnp.arange(b_corr)[:, None]
+                    s_agg = jnp.repeat(s_clean, cc_n, axis=0) \
+                        .at[bi, dst].add(s_a - s_c)
+                    v_agg = jnp.repeat(v_clean, cc_n, axis=0) \
+                        .at[bi, dst].add(v_a - v_c)
+                    cnt = jnp.repeat(
+                        jnp.sum(emask.astype(jnp.float32), axis=2),
+                        cc_n, axis=0)
+                    if use_mean:
+                        denom = jnp.maximum(cnt, 1.0)
+                        s_agg = s_agg / denom[..., None]
+                        v_agg = v_agg / denom[..., None, None]
+                elif fused:
                     ed_k = ed
                     if compact:
                         # compact the pp DESTINATION rows BEFORE the kernel:
@@ -897,6 +1018,15 @@ class GVPMultiEdgeConv(nn.Module):
                 if compact and not pre_compacted:
                     s_agg, v_agg, cnt = _compact_prot(s_agg, v_agg, cnt)
 
+            if emit_clean_prot and ename == "pp" and dst_nt == "prot":
+                if compact or group <= 1:
+                    raise ValueError(
+                        "emit_clean_prot requires a grouped, non-compact "
+                        "pp edge (the correction dataflow's first conv)")
+                # group-level pp aggregates BEFORE the per-copy broadcast:
+                # exactly the fp-free share of the prot aggregate
+                clean_pp_agg = (s_agg, v_agg, cnt)
+
             if group > 1 and not compact:
                 def _bcast(a):
                     return jnp.broadcast_to(
@@ -912,6 +1042,7 @@ class GVPMultiEdgeConv(nn.Module):
             counts[dst_nt] = counts[dst_nt] + cnt
 
         out: Dict[str, NodeData] = {}
+        clean_prot = None
         for ntype in ("pharm", "prot"):
             if ntype not in update_ntypes:
                 out[ntype] = node_feats[ntype]
@@ -954,6 +1085,27 @@ class GVPMultiEdgeConv(nn.Module):
                 mask = full_mask
             s_msg, v_msg = agg[ntype]
 
+            ln_msg = GVPLayerNorm(self.scalar_size,
+                                  name=f"message_layer_norms_{ntype}")
+            upd = self._update_chain(f"node_update_fns_{ntype}")
+            ln_upd = GVPLayerNorm(self.scalar_size,
+                                  name=f"update_layer_norms_{ntype}")
+
+            def _update_stage(h, v, s_msg, v_msg, mask,
+                              _ln1=ln_msg, _upd=upd, _ln2=ln_upd):
+                s_msg, v_msg = dropout(s_msg, v_msg, deterministic)
+                h = h + s_msg
+                v = v + v_msg
+                h, v = _ln1(h, v)
+                s_res, v_res = _upd((h, v))
+                s_res, v_res = dropout(s_res, v_res, deterministic)
+                h = h + s_res
+                v = v + v_res
+                h, v = _ln2(h, v)
+                # keep padded slots exactly zero so they can never leak
+                # into downstream reductions
+                return h * mask[..., None], v * mask[..., None, None]
+
             nv = norm_values[ntype]
             if nv == 0.0:
                 # dynamic per-graph normalization: average incoming degree + 1
@@ -970,23 +1122,36 @@ class GVPMultiEdgeConv(nn.Module):
                 s_msg = s_msg / nv
                 v_msg = v_msg / nv
 
-            s_msg, v_msg = dropout(s_msg, v_msg, deterministic)
-            h = h + s_msg
-            v = v + v_msg
-            h, v = GVPLayerNorm(self.scalar_size,
-                                name=f"message_layer_norms_{ntype}")(h, v)
-
-            s_res, v_res = self._update_chain(f"node_update_fns_{ntype}")((h, v))
-            s_res, v_res = dropout(s_res, v_res, deterministic)
-            h = h + s_res
-            v = v + v_res
-            h, v = GVPLayerNorm(self.scalar_size,
-                                name=f"update_layer_norms_{ntype}")(h, v)
-
-            # keep padded slots exactly zero so they can never leak into
-            # downstream reductions
-            h = h * mask[..., None]
-            v = v * mask[..., None, None]
+            h, v = _update_stage(h, v, s_msg, v_msg, mask)
             out[ntype] = (h, x, v)
+
+            if emit_clean_prot and ntype == "prot":
+                # the SAME update applied to the group-level fp-free
+                # aggregates: the clean state the next conv's pp_correction
+                # consumes. Shares every parameter with the actual path
+                # (modules created once above, called twice).
+                if clean_pp_agg is None:
+                    raise ValueError(
+                        "emit_clean_prot: no grouped pp aggregate captured")
+                if nv == 0.0:
+                    raise ValueError(
+                        "emit_clean_prot requires a non-dynamic "
+                        "message_norm (the dynamic norm is per-copy)")
+                cs, cv, _ccnt = clean_pp_agg
+                hg, _xg, vg = node_feats["prot"]
+                pmask = node_masks["prot"].astype(hg.dtype)
+                if hg.shape[0] != cs.shape[0]:
+                    gsz = hg.shape[0] // cs.shape[0]
+                    fold = lambda a: a.reshape(
+                        (cs.shape[0], gsz) + a.shape[1:])[:, 0]
+                    hg, vg = fold(hg), fold(vg)
+                if pmask.shape[0] != cs.shape[0]:
+                    gsz = pmask.shape[0] // cs.shape[0]
+                    pmask = pmask.reshape(
+                        (cs.shape[0], gsz) + pmask.shape[1:])[:, 0]
+                clean_prot = _update_stage(hg, vg, cs / nv, cv / nv, pmask)
+
+        if emit_clean_prot:
+            return out, clean_prot
 
         return out

@@ -352,7 +352,8 @@ class PharmacophoreDiffusion:
                               init_pharm_com: Optional[Array] = None,
                               visualize_trajectory: bool = False,
                               noise: Optional[Dict[str, Array]] = None,
-                              pocket_group_size: int = 1):
+                              pocket_group_size: int = 1,
+                              pp_k_out: int = 0):
         """Full reverse DDPM chain as one lax.scan
         (reference pharmacodiff.py:433-514).
 
@@ -374,6 +375,15 @@ class PharmacophoreDiffusion:
         numerically identical to pocket_group_size=1. All timesteps share
         one t across the batch here, so the group-uniformity requirement on
         t holds by construction.
+
+        `pp_k_out` > 0 (static) additionally enables the middle-conv
+        pocket-copy CORRECTION path (models/conv.py `pp_correction`): the
+        pp out-edge transpose is built once here from the static pp graph
+        and the denoiser then computes conv1's dominant per-copy pp chain
+        as a group-level clean pass + sparse per-copy correction. Exact
+        only when pp_k_out >= the pp graph's max out-degree — callers probe
+        that with `max_pp_out_degree` (PocketSampler does); the value is a
+        static shape, hence an argument rather than data.
         """
         cfg = self.config
         pharm_mask = jnp.asarray(batch.pharm_mask)
@@ -420,6 +430,16 @@ class PharmacophoreDiffusion:
             pp, pp_edge = build_pp_edge(prot_x0, prot_mask,
                                         self.cutoffs["pp"], cfg.pp_k_max)
             prot_h_g, prot_mask_g, pp_edge_g = prot_h, prot_mask, pp_edge
+
+        pp_out = None
+        from pharmaforge_tpu.models.dynamics import \
+            PharmRecDynamics as _PRD
+        if pp_k_out and pocket_group_size > 1 \
+                and isinstance(self.dynamics, _PRD):
+            # static across the chain (pp adjacency is coordinate-frozen):
+            # one transpose build amortized over all T steps
+            from pharmaforge_tpu.models.edges import build_pp_out_edges
+            pp_out = build_pp_out_edges(pp_edge_g, int(pp_k_out))
 
         prot_x = prot_x0 - init_pharm_com[:, None]
 
@@ -478,6 +498,8 @@ class PharmacophoreDiffusion:
             t_arr = jnp.full((b,), (s + 1).astype(jnp.float32) / n_t)
             kw = {} if step_tables is None else dict(
                 step_tables=tuple(step_tables))
+            if pp_out is not None:
+                kw["pp_out"] = pp_out
             pred_h, pred_x = self.dynamics.apply(
                 {"params": params}, h_t, x_t, pharm_mask, prot_h, prot_x,
                 prot_mask, t_arr, pp, deterministic=True, pp_edge=pp_edge,

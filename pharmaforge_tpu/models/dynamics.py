@@ -224,7 +224,8 @@ class PharmRecDynamics(nn.Module):
                  deterministic: bool = True,
                  pp_edge: EdgeData = None,
                  pocket_group_size: int = 1,
-                 step_tables: Optional[tuple] = None) -> Tuple[Array, Array]:
+                 step_tables: Optional[tuple] = None,
+                 pp_out: Optional[tuple] = None) -> Tuple[Array, Array]:
         """`pp_edge` optionally injects the precomputed prot-prot EdgeData
         (translation invariant, so the sampling chain computes it once for
         all T steps instead of once per step).
@@ -348,6 +349,40 @@ class PharmRecDynamics(nn.Module):
         # only (radius mode has no narrow index list). Deterministic mode
         # only: with dropout active the draws would fall per compact slot
         # instead of per atom, so training keeps the full-width path.
+        # pocket-copy correction dataflow (VERDICT r4 #3): conv0 emits the
+        # fp-free "clean" prot state at group level; conv1 — the dominant
+        # full-width per-copy pp chain at full scale — then runs one clean
+        # group pass plus a sparse per-copy correction over the pp
+        # out-edges of the pf-listed ("dirty") atoms. `pp_out` carries the
+        # static out-edge transpose (models/edges.py build_pp_out_edges),
+        # built once per sampling chain by diffusion.sample_given_receptor.
+        from pharmaforge_tpu.models.conv import message_norm_is_dynamic
+        corr = None
+        corr_on = (pp_out is not None and pocket_group_size > 1
+                   and deterministic and compact_at is not None
+                   and compact_at >= 2
+                   and self.pf_k is not None and self.pf_k > 0
+                   and not message_norm_is_dynamic(self.message_norm))
+        if corr_on:
+            pf0 = bundle["pf"]
+            slots = pf0.idx.reshape(b, -1).astype(jnp.int32)
+            pf_valid = pf0.mask.reshape(b, -1)
+            m_d = slots.shape[1]
+            # first-occurrence dedup: a dirty atom listed twice must
+            # contribute its out-edge corrections exactly once
+            eq = slots[:, :, None] == slots[:, None, :]
+            lower = jnp.tril(jnp.ones((m_d, m_d), bool), -1)
+            dup = jnp.any(eq & lower[None] & pf_valid[:, None, :], axis=2)
+            out_eid_g, out_mask_g = pp_out
+            gidx = jnp.arange(b) // pocket_group_size
+            eid = jnp.take_along_axis(out_eid_g[gidx], slots[..., None],
+                                      axis=1)
+            emk = jnp.take_along_axis(out_mask_g[gidx], slots[..., None],
+                                      axis=1)
+            corr = dict(slots=slots, slot_mask=pf_valid & ~dup,
+                        out_eid=eid, out_mask=emk)
+
+        clean = None
         from pharmaforge_tpu.models.edges import PreGatheredEdgeData
         for i in range(self.n_convs):
             last = i == self.n_convs - 1
@@ -357,7 +392,7 @@ class PharmRecDynamics(nn.Module):
             prot_dst_idx = None
             if compact_at is not None and i == compact_at:
                 prot_dst_idx = pf.idx.reshape(pf.idx.shape[0], -1)
-            node_feats = GVPMultiEdgeConv(
+            res = GVPMultiEdgeConv(
                 scalar_size=self.n_hidden_scalars,
                 vector_size=self.vector_size,
                 n_message_gvps=self.n_message_gvps,
@@ -382,7 +417,15 @@ class PharmRecDynamics(nn.Module):
               pf_table=pf_table if i == 0 else None,
               pf_src_group_size=pocket_group_size
               if i == 0 and (pf_table is not None or prot_group > 1) else 1,
-              prot_feats_group_size=prot_group if i == 0 else 1)
+              prot_feats_group_size=prot_group if i == 0 else 1,
+              emit_clean_prot=corr_on and i == 0,
+              pp_correction={**corr, "clean_h": clean[0],
+                             "clean_v": clean[1]}
+              if corr_on and i == 1 and clean is not None else None)
+            if corr_on and i == 0:
+                node_feats, clean = res
+            else:
+                node_feats = res
             if prot_dst_idx is not None:
                 # prot state is now compact: the remaining conv reads it only
                 # through pf, which becomes a pre-gathered reshape

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Dict, NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 
 from pharmaforge_tpu.ops.geometry import norm_no_nan, rbf
@@ -184,6 +185,58 @@ def build_pp_edge(prot_x, prot_mask, cutoff: float, k_max: int
     x_dir, d_rbf = _pair_geometry(prot_x, x_g)
     return nbrs, EdgeData(mask=nbrs.mask, idx=nbrs.idx, x_dir=x_dir,
                           d_rbf=d_rbf)
+
+
+def max_pp_out_degree(ed: EdgeData) -> Array:
+    """Maximum out-degree of a gathered pp edge: the largest number of
+    (dst, slot) positions referencing any single source atom. [G] -> scalar
+    int32. Host-syncs cheaply in PocketSampler to pick a static `k_out`
+    for `build_pp_out_edges` (the pp graph is static across a sampling
+    chain, so one probe per pocket batch suffices)."""
+    g, p, k = ed.idx.shape
+    flat_idx = ed.idx.reshape(g, p * k)
+    flat_valid = ed.mask.reshape(g, p * k)
+    oh = jax.nn.one_hot(flat_idx, p, dtype=jnp.int32) \
+        * flat_valid[..., None].astype(jnp.int32)
+    return jnp.max(jnp.sum(oh, axis=1))
+
+
+def build_pp_out_edges(ed: EdgeData, k_out: int
+                       ) -> "tuple[Array, Array]":
+    """Transpose of a gathered pp edge: for every SOURCE atom, the flat
+    edge ids (dst * K + slot) that reference it.
+
+    The per-copy middle-conv correction path (models/conv.py
+    `pp_correction`) uses this to enumerate exactly the pp edges whose
+    messages change when a source atom's state diverges across pocket
+    copies. Exact iff `k_out >= max_pp_out_degree(ed)` — the caller probes
+    that (PocketSampler) because shapes must be static under jit.
+
+    ed.idx/mask [G, P, K] -> (out_eid [G, P, k_out] int32,
+                              out_mask [G, P, k_out] bool).
+    """
+    g, p, k = ed.idx.shape
+    e = p * k
+    flat_idx = ed.idx.reshape(g, e).astype(jnp.int32)
+    flat_valid = ed.mask.reshape(g, e)
+    # rank of each valid edge within its source's out-list = number of
+    # valid edges at the same source up to and including it, minus one
+    oh = jax.nn.one_hot(flat_idx, p, dtype=jnp.int32) \
+        * flat_valid[..., None].astype(jnp.int32)
+    cum = jnp.cumsum(oh, axis=1)                              # [G, E, P]
+    pos = jnp.take_along_axis(cum, flat_idx[..., None],
+                              axis=2)[..., 0] - 1             # [G, E]
+    keep = flat_valid & (pos < k_out)
+    # overflowed or invalid edges scatter into a dump row p, sliced off
+    src_s = jnp.where(keep, flat_idx, p)
+    pos_s = jnp.where(keep, pos, 0)
+    gi = jnp.arange(g)[:, None]
+    e_ids = jnp.broadcast_to(jnp.arange(e, dtype=jnp.int32)[None], (g, e))
+    out_eid = jnp.zeros((g, p + 1, k_out), jnp.int32) \
+        .at[gi, src_s, pos_s].set(e_ids)
+    out_mask = jnp.zeros((g, p + 1, k_out), bool) \
+        .at[gi, src_s, pos_s].set(keep)
+    return out_eid[:, :p], out_mask[:, :p]
 
 
 def knn_neighbor_list(dst_x, dst_mask, src_x, src_mask, k: int) -> NeighborList:

@@ -24,6 +24,45 @@ from pharmaforge_tpu.data.batch import DEFAULT_MAX_PHARM, tile_pocket
 from pharmaforge_tpu.models.diffusion import PharmacophoreDiffusion
 
 
+def probe_pp_k_out(model: PharmacophoreDiffusion, prot_x_g, prot_mask_g,
+                   probe_jit=None) -> int:
+    """Static `pp_k_out` for the middle-conv pocket-copy correction path
+    (models/conv.py `pp_correction`): the pp graph's max out-degree over
+    the pocket-group representatives, rounded up to a multiple of 8 so jit
+    recompiles only happen across coarse degree buckets. Returns 0 (path
+    off) when the correction can't engage: no fused-kernel backend, <4
+    convs, no knn pf, a dynamic message norm, or PHARMAFORGE_PP_CORR=0."""
+    import os
+    if os.environ.get("PHARMAFORGE_PP_CORR", "1") == "0":
+        return 0
+    cfg = model.config
+    if cfg.n_convs < 4 or not cfg.pf_k or cfg.pf_k <= 0:
+        return 0
+    from pharmaforge_tpu.models.conv import message_norm_is_dynamic
+    if message_norm_is_dynamic(cfg.message_norm):
+        return 0
+    from pharmaforge_tpu.ops.pallas import edge_kernel_enabled
+    if not (edge_kernel_enabled()
+            or os.environ.get("PHARMAFORGE_PP_CORR") == "force"):
+        return 0
+    if probe_jit is None:
+        from pharmaforge_tpu.models.edges import (build_pp_edge,
+                                                  max_pp_out_degree)
+        cut = float(model.cutoffs["pp"])
+        k_max = int(cfg.pp_k_max)
+        probe_jit = _PROBE_CACHE.get((cut, k_max))
+        if probe_jit is None:
+            def probe_jit(px, pm, _c=cut, _k=k_max):
+                _, ed = build_pp_edge(px, pm, _c, _k)
+                return max_pp_out_degree(ed)
+            probe_jit = _PROBE_CACHE[(cut, k_max)] = jax.jit(probe_jit)
+    deg = int(probe_jit(np.asarray(prot_x_g), np.asarray(prot_mask_g)))
+    return max(8, -(-deg // 8) * 8)
+
+
+_PROBE_CACHE: Dict[tuple, callable] = {}
+
+
 class PocketSampler:
 
     def __init__(self, model: PharmacophoreDiffusion, params,
@@ -50,18 +89,32 @@ class PocketSampler:
         self.prot_bucket_multiple = prot_bucket_multiple
         self.fixed_prot_slots = fixed_prot_slots
         self._jitted: Dict[bool, callable] = {}
+        self._kout_probe = None
 
     def _sampler(self, visualize: bool):
         if visualize not in self._jitted:
-            def fn(params, batch, key, init_com, group):
+            def fn(params, batch, key, init_com, group, k_out=0):
                 # every chunk is ONE pocket tiled over the whole batch
                 # (tile_pocket below), so the chain dedups the per-copy
                 # prot-prot work across the full batch
                 return self.model.sample_given_receptor(
                     params, batch, key, init_pharm_com=init_com,
-                    visualize_trajectory=visualize, pocket_group_size=group)
-            self._jitted[visualize] = jax.jit(fn, static_argnums=4)
+                    visualize_trajectory=visualize, pocket_group_size=group,
+                    pp_k_out=k_out)
+            self._jitted[visualize] = jax.jit(fn, static_argnums=(4, 5))
         return self._jitted[visualize]
+
+    def _pp_k_out(self, batch, group: int) -> int:
+        """`probe_pp_k_out` over this batch's pocket-group representatives
+        — one tiny jitted call, host-synced once per chunk, amortized over
+        the T-step chain. Mesh-sharded sweeps keep the plain path for now
+        (the correction's G<->B cross-gathers are untested under pjit)."""
+        if group <= 1 or self.mesh is not None:
+            return 0
+        k = probe_pp_k_out(self.model, np.asarray(batch.prot_x)[::group],
+                           np.asarray(batch.prot_mask)[::group],
+                           probe_jit=self._kout_probe)
+        return k
 
     def sample_pocket(self,
                       pocket: dict,
@@ -92,6 +145,7 @@ class PocketSampler:
             prot_ph_types = [PH_IDX_TO_TYPE[int(i)] for i in idxs]
 
         results: List[SampledPharmacophore] = []
+        k_out = None
         for c in range(n_chunks):
             chunk_sizes = list(pharm_sizes[c * max_batch_size:
                                            (c + 1) * max_batch_size])
@@ -118,6 +172,9 @@ class PocketSampler:
 
             key, sub = jax.random.split(key)
             group = batch.batch_size
+            if k_out is None:
+                # same pocket every chunk: one out-degree probe suffices
+                k_out = self._pp_k_out(batch, group)
             if self.mesh is not None:
                 n_dev = int(np.prod(self.mesh.devices.shape))
                 if batch.batch_size % n_dev == 0 and n_dev > 1:
@@ -132,7 +189,7 @@ class PocketSampler:
                         com, jax.sharding.NamedSharding(
                             self.mesh, jax.sharding.PartitionSpec("data")))
                     group = batch.batch_size // n_dev
-            out = sampler(self.params, batch, sub, com, group)
+            out = sampler(self.params, batch, sub, com, group, k_out)
             out = {k: np.asarray(v) for k, v in out.items()}
             # keep only real rows
             out = {k: (v[:, :n_real] if k.startswith("traj") else v[:n_real])
@@ -224,7 +281,8 @@ class PocketSampler:
                         self.mesh, jax.sharding.PartitionSpec("data")))
 
         sampler = self._sampler(False)
-        out = sampler(self.params, batch, key, com, c)
+        k_out = self._pp_k_out(batch, c)
+        out = sampler(self.params, batch, key, com, c, k_out)
         out = {k: np.asarray(v) for k, v in out.items()}
 
         per_pocket = []
