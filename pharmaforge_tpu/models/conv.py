@@ -901,12 +901,18 @@ class GVPMultiEdgeConv(nn.Module):
                     emk_c = (pc["slot_mask"][..., None]
                              & pc["out_mask"]).reshape(b_corr, m_d * ko)
                     gidx = jnp.arange(b_corr) // cc_n
-                    xd_flat = ed.x_dir.reshape(gg, e_all, 3)[gidx]
-                    rbf_flat = ed.d_rbf.reshape(gg, e_all, rdim)[gidx]
-                    xd_corr = jnp.take_along_axis(xd_flat, eid[..., None],
-                                                  axis=1)
-                    rbf_corr = jnp.take_along_axis(rbf_flat, eid[..., None],
-                                                   axis=1)
+                    # single flat gathers (group row folded into the edge
+                    # id) — an advanced-index copy of the [G, E, ...]
+                    # arrays per batch row would be ~300 MB/step at the
+                    # full-scale shapes
+                    flat_ids = gidx[:, None] * e_all + eid     # [B, m*ko]
+
+                    def _flat_take(a):
+                        return jnp.take(a.reshape((gg * e_all,)
+                                                  + a.shape[2:]),
+                                        flat_ids, axis=0)
+                    xd_corr = _flat_take(ed.x_dir.reshape(gg, e_all, 3))
+                    rbf_corr = _flat_take(ed.d_rbf.reshape(gg, e_all, rdim))
                     idx_corr = jnp.broadcast_to(
                         jnp.arange(m_d, dtype=jnp.int32)[None, :, None],
                         (b_corr, m_d, ko)).reshape(b_corr, m_d * ko, 1)
@@ -917,12 +923,9 @@ class GVPMultiEdgeConv(nn.Module):
                     s_a, v_a = chain(hA, vA, ed_corr, fused_aggregate=fused)
                     # (4) matching clean per-edge values, masked identically
                     mker = emk_c.astype(jnp.float32)
-                    s_c = jnp.take_along_axis(
-                        s_e[gidx], eid[..., None], axis=1) * mker[..., None]
-                    v_c = (jnp.take_along_axis(
-                        v_e.reshape(gg, e_all, -1)[gidx], eid[..., None],
-                        axis=1).reshape(v_a.shape)
-                        * mker[..., None, None])
+                    s_c = _flat_take(s_e) * mker[..., None]
+                    v_c = (_flat_take(v_e.reshape(gg, e_all, -1))
+                           .reshape(v_a.shape) * mker[..., None, None])
                     # (5) broadcast clean aggregate + scatter the difference
                     dst = (eid // kpp).astype(jnp.int32)
                     bi = jnp.arange(b_corr)[:, None]
