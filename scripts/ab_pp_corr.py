@@ -68,6 +68,14 @@ def main():
     print(f"corr  compiled+warm in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
+    prof = os.environ.get("AB_PROFILE")
+    if prof:
+        # one profiled corr call for scripts/read_xplane.py attribution
+        with jax.profiler.trace(prof):
+            out = corr(params, batch, jax.random.key(999))
+            fence(out["pharm_x"])
+        print(f"profile written to {prof}", flush=True)
+
     rates = {"plain": [], "corr": []}
     for r in range(repeats):
         for name, c in (("plain", plain), ("corr", corr)):
