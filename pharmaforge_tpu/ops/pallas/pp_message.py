@@ -182,6 +182,13 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
     tk = tile_n * k
     dt = jnp.float32 if f32 else jnp.bfloat16
     acc = jnp.float32
+    # bf16 operands MUST carry an explicit DEFAULT precision: without it
+    # the caller's global jax_default_matmul_precision leaks into the
+    # kernel, and an unset global emits contract_precision<fp32> on bf16
+    # vectors — which Mosaic rejects ("Bad lhs type"; hit by the eval CLI,
+    # which unlike bench.py does not set the global to bfloat16). f32 mode
+    # keeps the inherited precision it has always run with.
+    prec = None if f32 else jax.lax.Precision.DEFAULT
 
     # the gather matrix depends only on (group, tile): build it once and
     # reuse across the C copies (grid is copies-innermost)
@@ -191,7 +198,8 @@ def _kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
         oh[...] = (cols == idx).astype(dt)
 
     def _dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=acc).astype(dt)
+        return jax.lax.dot(a, b, preferred_element_type=acc,
+                           precision=prec).astype(dt)
 
     def _norms(planes_packed, sum_mat):
         # fp32 channel norms over the three packed planes; clamp like
@@ -451,6 +459,8 @@ def _bwd_kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
     tk = tile_n * k
     dt = jnp.float32 if f32 else jnp.bfloat16
     acc = jnp.float32
+    # same explicit-precision rule as the forward kernel (see _kernel)
+    prec = None if f32 else jax.lax.Precision.DEFAULT
 
     first_cell = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
                   & (pl.program_id(2) == 0))
@@ -471,15 +481,18 @@ def _bwd_kernel(*refs, s: int, v: int, h: int, k: int, tile_n: int,
     oh_m = oh[...]
 
     def _dot(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=acc).astype(dt)
+        return jax.lax.dot(a, b, preferred_element_type=acc,
+                           precision=prec).astype(dt)
 
     def _dot_f32(a, b):
-        return jax.lax.dot(a, b, preferred_element_type=jnp.float32)
+        return jax.lax.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=prec)
 
     def _dot_t(a, b):
         # a^T @ b contracting the edge-row axis: [TK,X],[TK,Y] -> [X,Y] f32
         return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
 
     def _norms(packed):
         sq = packed.astype(jnp.float32) ** 2
