@@ -926,13 +926,28 @@ class GVPMultiEdgeConv(nn.Module):
                     s_c = _flat_take(s_e) * mker[..., None]
                     v_c = (_flat_take(v_e.reshape(gg, e_all, -1))
                            .reshape(v_a.shape) * mker[..., None, None])
-                    # (5) broadcast clean aggregate + scatter the difference
+                    # (5) broadcast clean aggregate + scatter the
+                    # difference. The scatter is a one-hot matmul on the
+                    # MXU (same trick as _scatter_aggregate) — XLA's
+                    # native scatter-add serializes row-by-row on TPU.
+                    # Masked rows carry dst=0 but a zero payload.
                     dst = (eid // kpp).astype(jnp.int32)
-                    bi = jnp.arange(b_corr)[:, None]
+                    n_v3 = v_a.shape[-2] * 3
+                    pay = jnp.concatenate(
+                        [s_a - s_c,
+                         (v_a - v_c).reshape(b_corr, -1, n_v3)], axis=-1)
+                    dst_oh = jax.nn.one_hot(dst, nd_pp, dtype=jnp.float32)
+                    prec = (jax.lax.Precision.HIGHEST
+                            if self.compute_dtype == "float32" else None)
+                    add = jnp.einsum("brp,brd->bpd", dst_oh, pay,
+                                     precision=prec,
+                                     preferred_element_type=jnp.float32)
+                    s_dim_a = s_a.shape[-1]
                     s_agg = jnp.repeat(s_clean, cc_n, axis=0) \
-                        .at[bi, dst].add(s_a - s_c)
+                        + add[..., :s_dim_a]
                     v_agg = jnp.repeat(v_clean, cc_n, axis=0) \
-                        .at[bi, dst].add(v_a - v_c)
+                        + add[..., s_dim_a:].reshape(
+                            b_corr, nd_pp, v_a.shape[-2], 3)
                     cnt = jnp.repeat(
                         jnp.sum(emask.astype(jnp.float32), axis=2),
                         cc_n, axis=0)
